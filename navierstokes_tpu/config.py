@@ -1,0 +1,63 @@
+"""Global configuration: dtypes and device policy.
+
+The reference framework runs FEniCS/PETSc in float64 end-to-end.  On TPU,
+float64 is software-emulated and slow, so the policy here is:
+
+* **Validation / CI** (CPU backend): enable x64, run everything in float64 so
+  solutions match the reference's accuracy contract (nonlinear residual
+  <= 1e-10, see /root/reference/source/ns_solver_base.py:986-988).
+* **Production / benchmarking** (TPU backend): float32 storage with float32
+  Krylov + iterative refinement where needed; tolerances scale accordingly.
+
+``default_dtype()`` picks the widest float the active JAX config supports.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def x64_enabled() -> bool:
+    return bool(jax.config.read("jax_enable_x64"))
+
+
+def default_dtype():
+    """Widest supported float dtype (f64 iff x64 is enabled)."""
+    return jnp.float64 if x64_enabled() else jnp.float32
+
+
+def default_int_dtype():
+    return jnp.int32
+
+
+def np_dtype():
+    return np.float64 if x64_enabled() else np.float32
+
+
+def default_tol() -> float:
+    """Default nonlinear residual tolerance matched to the active precision.
+
+    The reference asserts ||F||_2 <= 1e-10 (float64).  In float32 that is
+    unreachable; 5e-5 tracks the same "converged to roundoff" contract.
+    """
+    return 1.0e-10 if x64_enabled() else 5.0e-5
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def enable_x64() -> None:
+    """Opt into float64 (call before any tracing)."""
+    jax.config.update("jax_enable_x64", True)
+
+
+if os.environ.get("NS_TPU_X64", "").lower() in ("1", "true", "yes"):
+    enable_x64()

@@ -1,0 +1,9 @@
+"""Application-facing problem orchestration (hooks API, coefficients, IO)."""
+
+from navierstokes_tpu.problems.coefficients import (  # noqa: F401
+    EquationCoefficientHandler,
+)
+from navierstokes_tpu.problems.rotation import (  # noqa: F401
+    AngularVelocityVector,
+    FunctionTime,
+)
