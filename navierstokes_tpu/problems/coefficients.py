@@ -114,7 +114,7 @@ class EquationCoefficientHandler:
                     conflicting: tuple) -> None:
         if self._closed:
             raise RuntimeError("coefficient handler is closed")
-        if all(k in self._numbers for k in conflicting):
+        if conflicting and all(k in self._numbers for k in conflicting):
             raise RuntimeError("Overconstrained parameter set.")
         self._numbers[key] = _validated(value)
 
