@@ -1,0 +1,444 @@
+"""Built-in mesh generators.
+
+Structured generators (`hyper_cube`, `hyper_rectangle`, `open_hyper_cube`)
+and host-side replacements for the reference's external meshing stack:
+
+* ``spherical_shell``   -- structured polar annulus (2D), replacing mshr/CGAL
+  (reference: source/grid_generator.py:67-108).
+* ``channel_with_cylinder`` / ``backward_facing_step`` / ``blasius_plate``
+  -- NumPy/scipy point-cloud meshes replacing the gmsh ``.geo`` pipeline
+  (reference: source/grid_generator.py:440-455 + gmsh-collection submodule),
+  returning ``(mesh, markers, marker_map)`` with the same marker names the
+  reference demos consume ("inlet", "cylinder", "upper wall", ...).
+
+All generators return host NumPy data; device arrays are created by the FEM
+layer.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from navierstokes_tpu.mesh.core import FacetMarkers, SimplexMesh, merge_markers
+from navierstokes_tpu.mesh.markers import (
+    HyperCubeBoundaryMarkers,
+    SphericalAnnulusBoundaryMarkers,
+)
+
+_TOL = 1.0e-10
+
+
+# ---------------------------------------------------------------------------
+# structured rectangles / boxes
+# ---------------------------------------------------------------------------
+
+def _structured_rectangle(first_point, second_point, n_points):
+    """Grid points + right-diagonal triangulation of a rectangle."""
+    (x0, y0), (x1, y1) = first_point, second_point
+    nx, ny = n_points
+    xs = np.linspace(x0, x1, nx + 1)
+    ys = np.linspace(y0, y1, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    I, J = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    I, J = I.ravel(), J.ravel()
+    v00, v10 = vid(I, J), vid(I + 1, J)
+    v01, v11 = vid(I, J + 1), vid(I + 1, J + 1)
+    lower = np.stack([v00, v10, v11], axis=1)
+    upper = np.stack([v00, v11, v01], axis=1)
+    cells = np.concatenate([lower, upper], axis=0)
+    return points, cells
+
+
+def _structured_box(first_point, second_point, n_points):
+    """Kuhn (6-tet) subdivision of a structured hexahedral grid."""
+    (x0, y0, z0), (x1, y1, z1) = first_point, second_point
+    nx, ny, nz = n_points
+    xs = np.linspace(x0, x1, nx + 1)
+    ys = np.linspace(y0, y1, ny + 1)
+    zs = np.linspace(z0, z1, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    I, J, K = I.ravel(), J.ravel(), K.ravel()
+    c = [vid(I + di, J + dj, K + dk)
+         for di in (0, 1) for dj in (0, 1) for dk in (0, 1)]
+    # c index bit order: (di, dj, dk) -> di*4 + dj*2 + dk
+    # six tets sharing the main diagonal c[0]-c[7]
+    tet_corners = [(0, 4, 6, 7), (0, 4, 5, 7), (0, 2, 6, 7),
+                   (0, 2, 3, 7), (0, 1, 5, 7), (0, 1, 3, 7)]
+    cells = np.concatenate(
+        [np.stack([c[a], c[b], c[d], c[e]], axis=1)
+         for a, b, d, e in tet_corners], axis=0)
+    return points, cells
+
+
+def _mark_axis_faces(mesh: SimplexMesh, first_point, second_point):
+    """Marker pieces for the axis-aligned faces of a rectangle/box."""
+    M = HyperCubeBoundaryMarkers
+    dim = mesh.dim
+    face_defs = [(0, first_point[0], M.left.value),
+                 (0, second_point[0], M.right.value),
+                 (1, first_point[1], M.bottom.value),
+                 (1, second_point[1], M.top.value)]
+    if dim == 3:
+        face_defs += [(2, first_point[2], M.back.value),
+                      (2, second_point[2], M.front.value)]
+    scale = max(abs(v) for p in (first_point, second_point) for v in p) + 1.0
+    pieces = []
+    for axis, value, marker in face_defs:
+        ids = mesh.mark_exterior_facets(
+            lambda x, a=axis, v=value: np.abs(x[:, a] - v) < _TOL * scale)
+        pieces.append((ids, marker))
+    return pieces
+
+
+def hyper_rectangle(first_point, second_point, n_points=10):
+    """Axis-aligned rectangle/box spanned by two diagonal corner points.
+
+    Parity with reference grid_generator.hyper_rectangle (:154): returns
+    ``(mesh, facet_markers)`` with HyperCubeBoundaryMarkers face ids.
+    """
+    first_point = tuple(float(x) for x in first_point)
+    second_point = tuple(float(x) for x in second_point)
+    dim = len(first_point)
+    assert dim in (2, 3) and len(second_point) == dim
+    assert all(b > a for a, b in zip(first_point, second_point))
+    if isinstance(n_points, int):
+        n_points = (n_points,) * dim
+    n_points = tuple(int(n) for n in n_points)
+    assert len(n_points) == dim and all(n > 0 for n in n_points)
+
+    if dim == 2:
+        points, cells = _structured_rectangle(first_point, second_point,
+                                              n_points)
+    else:
+        points, cells = _structured_box(first_point, second_point, n_points)
+    mesh = SimplexMesh(points, cells)
+    markers = merge_markers(_mark_axis_faces(mesh, first_point, second_point))
+    return mesh, markers
+
+
+def hyper_cube(dim, n_points=10):
+    """Unit square/cube with equidistant resolution (reference :111)."""
+    assert dim in (2, 3)
+    origin = (0.0,) * dim
+    corner = (1.0,) * dim
+    return hyper_rectangle(origin, corner, n_points)
+
+
+def open_hyper_cube(dim, n_points=10, openings=None):
+    """Unit hyper cube with re-marked opening windows on its faces.
+
+    ``openings = ((position, center, width), ...)`` with position one of
+    left/right/bottom/top/back/front; facets whose vertices all lie within
+    the window get HyperCubeBoundaryMarkers.opening (reference :211-354,
+    with the tangential-window test applied on *all* tangential axes --
+    the reference's C++ chained-comparison in the left/right branches is a
+    bug we do not replicate).
+    """
+    if openings is None:
+        return hyper_cube(dim, n_points)
+
+    face_axis_value = {
+        "left": (0, 0.0), "right": (0, 1.0),
+        "bottom": (1, 0.0), "top": (1, 1.0),
+        "back": (2, 0.0), "front": (2, 1.0),
+    }
+    for position, center, width in openings:
+        assert position in face_axis_value
+        assert len(center) == dim
+        if isinstance(width, float):
+            assert dim == 2
+        else:
+            assert len(width) == dim - 1
+
+    mesh, markers = hyper_cube(dim, n_points)
+    pieces = [(markers.ids_with_value(v.value), v.value)
+              for v in HyperCubeBoundaryMarkers]
+
+    tol = 1.0e-10
+    for position, center, width in openings:
+        axis, value = face_axis_value[position]
+        if axis == 2:
+            assert dim == 3
+        if isinstance(width, float):
+            width = (width,)
+        tangential = [a for a in range(dim) if a != axis]
+        assert abs(center[axis] - value) < tol, \
+            "opening center must lie on the named face"
+
+        def in_window(x, axis=axis, value=value, tangential=tangential,
+                      center=center, width=width):
+            ok = np.abs(x[:, axis] - value) < tol
+            for w, a in zip(width, tangential):
+                ok &= np.abs(x[:, a] - center[a]) <= w / 2.0 + tol
+            return ok
+
+        ids = mesh.mark_exterior_facets(in_window)
+        assert len(ids) > 0, "opening does not cover any boundary facet"
+        pieces.append((ids, HyperCubeBoundaryMarkers.opening.value))
+
+    return mesh, merge_markers(pieces)
+
+
+# ---------------------------------------------------------------------------
+# spherical shell (annulus)
+# ---------------------------------------------------------------------------
+
+def spherical_shell(dim, radii, n_points=10):
+    """Annular shell mesh; 2D is a structured polar grid.
+
+    Replaces the reference's mshr/CGAL CSG meshing (grid_generator.py:67-108).
+    ``n_points`` plays the role of the mshr resolution: the target edge
+    length is ``2 * r_outer / n_points``.
+    """
+    assert dim in (2, 3)
+    ri, ro = (float(r) for r in radii)
+    assert 0.0 < ri < ro
+    if dim == 3:
+        raise NotImplementedError(
+            "3D spherical shells are not implemented yet")
+
+    h = 2.0 * ro / max(int(n_points), 3)
+    n_r = max(2, int(math.ceil((ro - ri) / h)))
+    n_t = max(8, int(math.ceil(2.0 * math.pi * (0.5 * (ri + ro)) / h)))
+
+    r = np.linspace(ri, ro, n_r + 1)
+    theta = np.linspace(0.0, 2.0 * math.pi, n_t, endpoint=False)
+    R, T = np.meshgrid(r, theta, indexing="ij")
+    points = np.stack([(R * np.cos(T)).ravel(), (R * np.sin(T)).ravel()],
+                      axis=1)
+
+    def vid(i, j):
+        return i * n_t + (j % n_t)
+
+    I, J = np.meshgrid(np.arange(n_r), np.arange(n_t), indexing="ij")
+    I, J = I.ravel(), J.ravel()
+    v00, v10 = vid(I, J), vid(I + 1, J)
+    v01, v11 = vid(I, J + 1), vid(I + 1, J + 1)
+    cells = np.concatenate([np.stack([v00, v10, v11], axis=1),
+                            np.stack([v00, v11, v01], axis=1)], axis=0)
+    mesh = SimplexMesh(points, cells)
+
+    inner_ids = mesh.mark_exterior_facets(
+        lambda x: np.abs(np.hypot(x[:, 0], x[:, 1]) - ri) < 1e-9 * ro)
+    outer_ids = mesh.mark_exterior_facets(
+        lambda x: np.abs(np.hypot(x[:, 0], x[:, 1]) - ro) < 1e-9 * ro)
+    markers = merge_markers([
+        (inner_ids, SphericalAnnulusBoundaryMarkers.interior_boundary.value),
+        (outer_ids, SphericalAnnulusBoundaryMarkers.exterior_boundary.value),
+    ])
+    return mesh, markers
+
+
+# ---------------------------------------------------------------------------
+# unstructured generators (replacing the gmsh .geo pipeline)
+# ---------------------------------------------------------------------------
+
+def _delaunay_mesh(points, inside_hole=None, min_quality=1e-6):
+    """Delaunay-triangulate a planar point cloud, dropping hole/sliver cells."""
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(points)
+    cells = tri.simplices.astype(np.int32)
+    v = points[cells]
+    e1, e2 = v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]
+    area = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    keep = area > min_quality * np.median(area)
+    if inside_hole is not None:
+        centroid = v.mean(axis=1)
+        keep &= ~inside_hole(centroid)
+    cells = cells[keep]
+    used = np.unique(cells)
+    remap = np.full(len(points), -1, dtype=np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    return SimplexMesh(points[used], remap[cells])
+
+
+def channel_with_cylinder(resolution=1.0):
+    """DFG 2D-2 cylinder-in-channel benchmark mesh.
+
+    Geometry nondimensionalized by the cylinder diameter (matching the
+    reference demo's inlet profile with h=4.1, demo/dfg_benchmark.py:33):
+    channel [0, 22] x [0, 4.1], cylinder center (2, 2), diameter 1.
+    Boundary-layer rings around the cylinder + graded background cloud,
+    Delaunay-triangulated.  Replaces gmsh DFGBenchmark.geo.
+
+    Returns ``(mesh, markers, marker_map)`` with marker names
+    inlet / outlet / upper wall / lower wall / cylinder.
+    """
+    L, H = 22.0, 4.1
+    cx, cy, rad = 2.0, 2.0, 0.5
+    res = float(resolution)
+    h_cyl = 0.08 / res      # edge length on the cylinder
+    h_far = 0.45 / res      # far-field edge length
+    pts = []
+
+    # cylinder boundary + geometric boundary-layer rings
+    n_c = int(round(2.0 * math.pi * rad / h_cyl))
+    growth, r_k, h_k = 1.25, rad, h_cyl
+    while r_k < 2.6 * rad:
+        n_k = max(16, int(round(2.0 * math.pi * r_k / h_k)))
+        ang = np.linspace(0.0, 2.0 * math.pi, n_k, endpoint=False)
+        ang += 0.5 * (r_k - rad)  # stagger rings
+        pts.append(np.stack([cx + r_k * np.cos(ang),
+                             cy + r_k * np.sin(ang)], axis=1))
+        h_k *= growth
+        r_k += h_k
+
+    # background cloud: spacing grows with distance from the cylinder,
+    # refined wake corridor behind it
+    def local_h(xy):
+        d = np.hypot(xy[:, 0] - cx, xy[:, 1] - cy) - rad
+        h = np.minimum(h_far, 0.12 / res + 0.12 * np.maximum(d, 0.0))
+        wake = (xy[:, 0] > cx) & (np.abs(xy[:, 1] - cy) < 1.2)
+        h = np.where(wake & (xy[:, 0] < cx + 12.0),
+                     np.minimum(h, 0.22 / res), h)
+        return h
+
+    # rejection-sampled jittered grid honoring local_h
+    rng = np.random.default_rng(20260816)
+    base_h = 0.12 / res
+    xs = np.arange(0.0, L + base_h, base_h)
+    ys = np.arange(0.0, H + base_h, base_h)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    cand = np.stack([X.ravel(), Y.ravel()], axis=1)
+    cand += rng.uniform(-0.25, 0.25, cand.shape) * base_h
+    cand[:, 0] = np.clip(cand[:, 0], 0.0, L)
+    cand[:, 1] = np.clip(cand[:, 1], 0.0, H)
+    hloc = local_h(cand)
+    accept = rng.random(len(cand)) < (base_h / hloc) ** 2
+    cand = cand[accept]
+    # keep clear of the cylinder + rings and the walls
+    d_c = np.hypot(cand[:, 0] - cx, cand[:, 1] - cy)
+    cand = cand[d_c > r_k - 0.4 * h_k]
+    interior = ((cand[:, 0] > 0.4 * h_far) & (cand[:, 0] < L - 0.4 * h_far)
+                & (cand[:, 1] > 0.4 * base_h) & (cand[:, 1] < H - 0.4 * base_h))
+    pts.append(cand[interior])
+
+    # channel boundary points (graded along the walls near the cylinder)
+    def wall_points(y):
+        t = [0.0]
+        x = 0.0
+        while x < L:
+            h = float(local_h(np.array([[x, y]]))[0])
+            x = min(L, x + h)
+            t.append(x)
+        return np.stack([np.array(t), np.full(len(t), y)], axis=1)
+
+    lower, upper = wall_points(0.0), wall_points(H)
+    n_io = int(round(H / (0.28 / res)))
+    ysb = np.linspace(0.0, H, n_io + 1)[1:-1]
+    inlet = np.stack([np.zeros(len(ysb)), ysb], axis=1)
+    outlet = np.stack([np.full(len(ysb), L), ysb], axis=1)
+    pts += [lower, upper, inlet, outlet]
+
+    points = np.concatenate(pts, axis=0)
+    mesh = _delaunay_mesh(
+        points,
+        inside_hole=lambda c: np.hypot(c[:, 0] - cx, c[:, 1] - cy) < rad)
+
+    tol = 1e-9 * L
+    marker_map = {"inlet": 1, "outlet": 2, "upper wall": 3, "lower wall": 4,
+                  "cylinder": 5}
+    on_cyl = mesh.mark_exterior_facets(
+        lambda x: np.hypot(x[:, 0] - cx, x[:, 1] - cy) < rad + 0.25 * h_cyl)
+    markers = merge_markers([
+        (mesh.mark_exterior_facets(lambda x: x[:, 0] < tol),
+         marker_map["inlet"]),
+        (mesh.mark_exterior_facets(lambda x: x[:, 0] > L - tol),
+         marker_map["outlet"]),
+        (mesh.mark_exterior_facets(lambda x: x[:, 1] > H - tol),
+         marker_map["upper wall"]),
+        (mesh.mark_exterior_facets(lambda x: x[:, 1] < tol),
+         marker_map["lower wall"]),
+        (on_cyl, marker_map["cylinder"]),
+    ])
+    return mesh, markers, marker_map
+
+
+def backward_facing_step(resolution=1.0):
+    """Channel with a backward-facing step.
+
+    Inlet channel y in [0.5, 1] (matching the reference demo's inlet profile
+    h=0.5, y0=0.5, demo/backward_facing_step.py:23-24), step at x=2,
+    expanded channel [2, 12] x [0, 1].  Structured triangulation.
+
+    Returns ``(mesh, markers, marker_map)`` with names inlet/outlet/walls.
+    """
+    n = max(4, int(round(8 * resolution)))  # cells across the half-height
+    h = 0.5 / n
+    # union of two structured blocks sharing the interface x=2, y in [0.5,1]
+    p1, c1 = _structured_rectangle((0.0, 0.5), (2.0, 1.0),
+                                   (int(round(2.0 / h)), n))
+    p2, c2 = _structured_rectangle((2.0, 0.0), (12.0, 1.0),
+                                   (int(round(10.0 / h)), 2 * n))
+    points = np.concatenate([p1, p2], axis=0)
+    cells = np.concatenate([c1, c2 + len(p1)], axis=0)
+    # merge duplicate points on the shared interface
+    rounded = np.round(points, 9)
+    uniq, inv = np.unique(rounded, axis=0, return_inverse=True)
+    cells = inv[cells]
+    mesh = SimplexMesh(uniq, cells.astype(np.int32))
+
+    tol = 1e-9
+    marker_map = {"inlet": 1, "outlet": 2, "walls": 3}
+    inlet = mesh.mark_exterior_facets(lambda x: x[:, 0] < tol)
+    outlet = mesh.mark_exterior_facets(lambda x: x[:, 0] > 12.0 - tol)
+    everything = mesh.exterior_facet_ids
+    walls = np.setdiff1d(everything, np.concatenate([inlet, outlet]))
+    markers = merge_markers([(walls, marker_map["walls"]),
+                             (inlet, marker_map["inlet"]),
+                             (outlet, marker_map["outlet"])])
+    return mesh, markers, marker_map
+
+
+def blasius_plate(resolution=1.0):
+    """Zero-thickness flat plate embedded in a free stream.
+
+    Rectangle [-1, 2] x [0, 1] with the plate on the segment
+    y = 0.5, x in [0, 1]; interior facets along the plate are marked so a
+    no-slip *internal constraint* can pin the velocity there (the reference
+    demo applies VelocityBCType.no_slip via set_internal_constraints,
+    demo/blasius_flow.py:33-34).
+
+    Returns ``(mesh, markers, marker_map)`` with names
+    inlet/outlet/bottom/top/plate.
+    """
+    n = max(8, int(round(16 * resolution)))  # cells per unit length
+    mesh, _ = hyper_rectangle((-1.0, 0.0), (2.0, 1.0), (3 * n, n))
+
+    tol = 1e-9
+    marker_map = {"inlet": 1, "outlet": 2, "bottom": 3, "top": 4, "plate": 5}
+    inlet = mesh.mark_exterior_facets(lambda x: x[:, 0] < -1.0 + tol)
+    outlet = mesh.mark_exterior_facets(lambda x: x[:, 0] > 2.0 - tol)
+    bottom = mesh.mark_exterior_facets(lambda x: x[:, 1] < tol)
+    top = mesh.mark_exterior_facets(lambda x: x[:, 1] > 1.0 - tol)
+
+    # interior plate facets: both vertices on y=0.5, 0<=x<=1
+    fv = mesh.points[mesh.facets]
+    on_plate = (np.all(np.abs(fv[:, :, 1] - 0.5) < tol, axis=1)
+                & np.all(fv[:, :, 0] > -tol, axis=1)
+                & np.all(fv[:, :, 0] < 1.0 + tol, axis=1)
+                & ~mesh.exterior_facet_mask)
+    plate = np.nonzero(on_plate)[0].astype(np.int32)
+    assert len(plate) > 0
+
+    markers = merge_markers([(inlet, marker_map["inlet"]),
+                             (outlet, marker_map["outlet"]),
+                             (bottom, marker_map["bottom"]),
+                             (top, marker_map["top"]),
+                             (plate, marker_map["plate"])])
+    return mesh, markers, marker_map

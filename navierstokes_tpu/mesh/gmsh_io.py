@@ -1,0 +1,138 @@
+"""gmsh interoperability: .geo marker parsing and .msh import.
+
+The reference shells out to the gmsh binary and reads the result through
+meshio/XDMF (source/grid_tools.py:70-121, grid_generator.py:357-437).  Here
+the import path is self-contained: a parser for ``Physical Curve/Line``
+declarations in ``.geo`` files and a native reader for gmsh MSH 2.2 ASCII
+files (nodes, lines, triangles, tets with physical tags).  If a gmsh binary
+happens to be on PATH, ``generate_msh`` will invoke it; otherwise users
+supply a pre-generated ``.msh``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+from navierstokes_tpu.mesh.core import FacetMarkers, SimplexMesh
+
+
+def extract_facet_markers(geo_filename: str) -> dict:
+    """{physical name: facet id} from Physical Curve/Line lines of a .geo.
+
+    Parity with the reference's ``_extract_facet_markers``
+    (grid_generator.py:357-386).
+    """
+    assert geo_filename.endswith(".geo") and os.path.exists(geo_filename)
+    markers = {}
+    with open(geo_filename, "r") as fh:
+        for line in fh:
+            if "Physical Curve" not in line and "Physical Line" not in line:
+                continue
+            inner = line[line.index("(") + 1:line.index(")")]
+            description, number = inner.split(",")
+            number = number.strip()
+            assert number.isnumeric()
+            description = description.strip().strip("'").strip('"')
+            assert description not in markers
+            markers[description] = int(number)
+    return markers
+
+
+def generate_msh(geo_filename: str, dim: int = 2) -> str:
+    """Run the gmsh binary on a .geo file (if available) and return the .msh
+    path."""
+    msh = geo_filename[:-4] + ".msh"
+    if os.path.exists(msh):
+        return msh
+    gmsh = shutil.which("gmsh")
+    if gmsh is None:
+        raise FileNotFoundError(
+            f"{msh} does not exist and no gmsh binary found to generate it")
+    subprocess.run([gmsh, geo_filename, f"-{dim}", "-format", "msh2",
+                    "-o", msh], check=True)
+    return msh
+
+
+_MSH_CELL_TYPES = {1: ("line", 2), 2: ("triangle", 3), 4: ("tetra", 4),
+                   15: ("point", 1)}
+
+
+def read_msh(filename: str):
+    """Read a gmsh MSH 2.2 ASCII file.
+
+    Returns ``(mesh, markers)`` where interior/exterior codim-1 elements with
+    physical tags become facet markers.  The spatial dimension is inferred
+    from the present cell types (tetra -> 3D, else 2D), mirroring
+    grid_tools.py:96-105.
+    """
+    with open(filename, "r") as fh:
+        lines = fh.read().splitlines()
+
+    def section(name):
+        start = lines.index(f"${name}") + 1
+        end = lines.index(f"$End{name}")
+        return lines[start:end]
+
+    node_lines = section("Nodes")
+    n_nodes = int(node_lines[0])
+    nodes = np.array([[float(v) for v in ln.split()[1:4]]
+                      for ln in node_lines[1:1 + n_nodes]])
+
+    elem_lines = section("Elements")
+    n_elems = int(elem_lines[0])
+    blocks = {}
+    for ln in elem_lines[1:1 + n_elems]:
+        parts = [int(v) for v in ln.split()]
+        etype = parts[1]
+        if etype not in _MSH_CELL_TYPES:
+            continue
+        name, nv = _MSH_CELL_TYPES[etype]
+        n_tags = parts[2]
+        phys = parts[3] if n_tags > 0 else 0
+        conn = [v - 1 for v in parts[3 + n_tags:3 + n_tags + nv]]
+        blocks.setdefault(name, []).append((phys, conn))
+
+    if "tetra" in blocks:
+        dim, cell_name, facet_name = 3, "tetra", "triangle"
+    else:
+        dim, cell_name, facet_name = 2, "triangle", "line"
+    assert cell_name in blocks, "mesh contains no volume cells"
+
+    cells = np.array([c for _, c in blocks[cell_name]], dtype=np.int32)
+    points = nodes[:, :dim]
+    # drop unused points (gmsh may emit construction nodes)
+    used = np.unique(cells)
+    remap = np.full(len(points), -1, dtype=np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    mesh = SimplexMesh(points[used], remap[cells])
+
+    facet_ids, values = [], []
+    if facet_name in blocks:
+        lookup = {tuple(sorted(f)): i for i, f in enumerate(
+            mesh.facets.tolist())}
+        for phys, conn in blocks[facet_name]:
+            key = tuple(sorted(remap[np.array(conn)].tolist()))
+            if -1 in key or key not in lookup:
+                continue
+            facet_ids.append(lookup[key])
+            values.append(phys)
+    markers = FacetMarkers(np.array(facet_ids, dtype=np.int32),
+                           np.array(values, dtype=np.int32))
+    return mesh, markers
+
+
+def read_geo_msh(geo_filename: str):
+    """Full pipeline: parse marker names from the .geo, read/generate the
+    matching .msh, return ``(mesh, markers, marker_map)``.
+
+    Equivalent of the reference's ``_read_external_mesh``
+    (grid_generator.py:406-437).
+    """
+    marker_map = extract_facet_markers(geo_filename)
+    msh = generate_msh(geo_filename)
+    mesh, markers = read_msh(msh)
+    return mesh, markers, marker_map
