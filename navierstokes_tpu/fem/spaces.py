@@ -1,0 +1,328 @@
+"""Taylor-Hood mixed function space as flat index arrays.
+
+Replaces dolfin FunctionSpace/DofMap/MixedElement incl. periodic
+``constrained_domain`` dofmaps (reference: source/ns_solver_base.py:501-524)
+with host-side NumPy precomputation:
+
+* P2 velocity nodes = mesh vertices + edge midpoints; P1 pressure nodes =
+  vertices.  Periodic BCs merge slave nodes into master nodes *before* dof
+  numbering, so no constraint matrices exist downstream.
+* mixed dof layout: ``x = [u_0x, u_0y(, u_0z), u_1x, ..., p_0, p_1, ...]``
+  -- velocity node-major/component-minor, then pressure.
+* per-cell gather maps (``cell_unodes``, ``cell_pnodes``) plus affine cell
+  geometry (inverse Jacobians, detJ) and tabulated shape functions are the
+  entire input of the jitted assembly kernels.
+
+Everything here runs once at setup on the host; the solvers move the arrays
+to the device unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+
+from navierstokes_tpu.fem import elements
+from navierstokes_tpu.mesh.core import SimplexMesh
+
+_MATCH_DECIMALS = 8
+
+
+# ---------------------------------------------------------------------------
+# periodic identification
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PeriodicPair:
+    """One periodic identification: ``is_slave(x)`` selects constrained
+    points, ``mapping(x)`` sends them onto their master images.
+
+    Both are vectorized over an (n, dim) coordinate array.  Plays the role
+    of dolfin SubDomain.inside/map (reference usage:
+    tests/test_transient_solvers.py:19-48); corner nodes of doubly periodic
+    domains are handled by chaining the mappings to a fixpoint.
+    """
+
+    is_slave: callable
+    mapping: callable
+
+
+def axis_periodic(axis: int, xmin: float = 0.0, xmax: float = 1.0,
+                  tol: float = 1e-9) -> PeriodicPair:
+    """Periodicity along a coordinate axis: x[axis]=xmax -> x[axis]=xmin."""
+
+    def is_slave(x):
+        return np.abs(x[:, axis] - xmax) < tol
+
+    def mapping(x):
+        y = x.copy()
+        y[:, axis] -= (xmax - xmin)
+        return y
+
+    return PeriodicPair(is_slave, mapping)
+
+
+def _match_coordinates(coords: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Index of the row of ``coords`` nearest (within 1e-7) each query row."""
+    from scipy.spatial import cKDTree
+
+    dist, found = cKDTree(coords).query(queries)
+    if np.any(dist > 10.0 ** (-_MATCH_DECIMALS + 1)):  # pragma: no cover
+        bad = queries[dist > 10.0 ** (-_MATCH_DECIMALS + 1)][:3]
+        raise ValueError(f"periodic image not found for points {bad}")
+    return found
+
+
+def merge_periodic_nodes(coords: np.ndarray, periodic) -> np.ndarray:
+    """owner[i] = index of the master node of i (i itself if unconstrained)."""
+    n = len(coords)
+    owner = np.arange(n)
+    if not periodic:
+        return owner
+    target = coords.copy()
+    dim = coords.shape[1]
+    for _ in range(dim + 1):  # chain mappings through corners/edges
+        moved = False
+        for pair in periodic:
+            mask = pair.is_slave(target)
+            # nodes already at their master image are not slaves of themselves
+            if not np.any(mask):
+                continue
+            mapped = pair.mapping(target[mask])
+            if np.allclose(mapped, target[mask]):
+                continue
+            target[mask] = mapped
+            moved = True
+        if not moved:
+            break
+    slave = ~np.all(np.abs(target - coords) < 10.0 ** (-_MATCH_DECIMALS), axis=1)
+    if np.any(slave):
+        owner[slave] = _match_coordinates(coords, target[slave])
+    return owner
+
+
+def _rank_owners(owner: np.ndarray):
+    """(node_map, n_unique): consecutive ranks with slaves sharing masters."""
+    unique_owners, ranks = np.unique(owner, return_inverse=True)
+    return ranks.astype(np.int32), len(unique_owners), unique_owners
+
+
+# ---------------------------------------------------------------------------
+# the mixed space
+# ---------------------------------------------------------------------------
+
+class TaylorHoodSpace:
+    """P2/P1 (velocity/pressure) mixed space on a simplex mesh."""
+
+    def __init__(self, mesh: SimplexMesh, periodic=None,
+                 quadrature_degree: int = 6):
+        self.mesh = mesh
+        self.dim = mesh.dim
+        self.periodic = list(periodic) if periodic else []
+        self.quadrature_degree = quadrature_degree
+
+        nv, ne = mesh.n_vertices, mesh.n_edges
+        dim = mesh.dim
+
+        # raw node sets
+        edge_mid = mesh.points[mesh.edges].mean(axis=1)
+        u_coords_raw = np.concatenate([mesh.points, edge_mid], axis=0)
+        p_coords_raw = mesh.points
+        cell_unodes_raw = np.concatenate(
+            [mesh.cells, nv + mesh.cell_edges], axis=1)   # (nc, nodes/cell)
+        cell_pnodes_raw = mesh.cells
+
+        # periodic merging before numbering
+        u_owner = merge_periodic_nodes(u_coords_raw, self.periodic)
+        p_owner = merge_periodic_nodes(p_coords_raw, self.periodic)
+        self._u_node_map, self.n_unodes, u_keep = _rank_owners(u_owner)
+        self._p_node_map, self.n_pnodes, p_keep = _rank_owners(p_owner)
+        self.u_coords = u_coords_raw[u_keep]     # (n_unodes, dim) master coords
+        self.p_coords = p_coords_raw[p_keep]
+
+        self.cell_unodes = self._u_node_map[cell_unodes_raw]
+        self.cell_pnodes = self._p_node_map[cell_pnodes_raw]
+
+        self.n_velocity_dofs = self.n_unodes * dim
+        self.n_pressure_dofs = self.n_pnodes
+        self.n_dofs = self.n_velocity_dofs + self.n_pressure_dofs
+
+        # cell geometry: J[c,d,e] = dx_d/dxi_e, Jinv[c,e,d] = dxi_e/dx_d
+        v = mesh.points[mesh.cells]                       # (nc, d+1, d)
+        J = np.transpose(v[:, 1:, :] - v[:, :1, :], (0, 2, 1))
+        self.detJ = np.linalg.det(J)
+        self.Jinv = np.linalg.inv(J)
+        self.cell_origin = v[:, 0, :]
+        self.J = J
+
+        # tabulated shape functions at the volume quadrature rule
+        q, w = elements.simplex_quadrature(dim, quadrature_degree)
+        self.quad_points, self.quad_weights = q, w
+        self.N2, self.G2 = elements.tabulate(2, q, dim)
+        self.N1, self.G1 = elements.tabulate(1, q, dim)
+
+        self._facet_edge_lookup = None
+
+    # -- dof helpers --------------------------------------------------------
+    def velocity_dof(self, node_ranks: np.ndarray,
+                     component: int) -> np.ndarray:
+        return node_ranks * self.dim + component
+
+    @property
+    def pressure_offset(self) -> int:
+        return self.n_velocity_dofs
+
+    def split(self, x):
+        """(u (n_unodes, dim), p (n_pnodes,)) views of a mixed vector."""
+        u = x[:self.n_velocity_dofs].reshape(self.n_unodes, self.dim)
+        p = x[self.n_velocity_dofs:]
+        return u, p
+
+    def join(self, u, p):
+        import jax.numpy as jnp
+        backend = jnp if not isinstance(u, np.ndarray) else np
+        return backend.concatenate([u.reshape(-1), p])
+
+    # -- quadrature-point geometry -----------------------------------------
+    def quad_coords(self) -> np.ndarray:
+        """Physical coordinates of all volume quadrature points (nc, nq, d)."""
+        return (self.cell_origin[:, None, :]
+                + np.einsum("cde,qe->cqd", self.J, self.quad_points))
+
+    def integration_weights(self) -> np.ndarray:
+        """w_q * |det J_c| as an (nc, nq) array."""
+        return np.abs(self.detJ)[:, None] * self.quad_weights[None, :]
+
+    # -- facet (boundary) machinery ----------------------------------------
+    def facet_unodes(self, facet_ids: np.ndarray) -> np.ndarray:
+        """Unique velocity node ranks on the given facets (P2 trace)."""
+        mesh = self.mesh
+        ids = np.asarray(facet_ids)
+        verts = mesh.facets[ids].ravel()
+        if self.dim == 2:
+            mids = mesh.n_vertices + ids           # edge index == facet index
+        else:
+            mids = mesh.n_vertices + self._facet_edges(ids).ravel()
+        nodes = np.concatenate([verts, np.atleast_1d(mids).ravel()])
+        return np.unique(self._u_node_map[nodes])
+
+    def facet_pnodes(self, facet_ids: np.ndarray) -> np.ndarray:
+        verts = self.mesh.facets[np.asarray(facet_ids)].ravel()
+        return np.unique(self._p_node_map[verts])
+
+    def _facet_edges(self, facet_ids: np.ndarray) -> np.ndarray:
+        """(nf, 3) edge indices of triangle facets (3D only)."""
+        mesh = self.mesh
+        if self._facet_edge_lookup is None:
+            key = mesh.edges[:, 0].astype(np.int64) * mesh.n_vertices \
+                + mesh.edges[:, 1]
+            order = np.argsort(key)
+            self._facet_edge_lookup = (key[order], order)
+        skey, order = self._facet_edge_lookup
+        fv = np.sort(mesh.facets[np.asarray(facet_ids)], axis=1)  # (nf, 3)
+        pairs = np.stack([fv[:, [0, 1]], fv[:, [0, 2]], fv[:, [1, 2]]], axis=1)
+        qkey = pairs[..., 0].astype(np.int64) * mesh.n_vertices + pairs[..., 1]
+        pos = np.searchsorted(skey, qkey)
+        return order[pos].astype(np.int32)
+
+    def facet_batch(self, facet_ids: np.ndarray, quadrature_degree=None):
+        """Precomputed integration data for a set of facets.
+
+        Returns a dict of arrays for jitted boundary assembly:
+        cell (nf,), tables selected per facet (N2/G2/N1 at embedded facet
+        quadrature points), physical quad coords, scaled weights, outward
+        unit normals.
+        """
+        deg = quadrature_degree or self.quadrature_degree
+        mesh, dim = self.mesh, self.dim
+        ids = np.asarray(facet_ids, dtype=np.int64)
+        cells = mesh.facet_cell[ids]
+        local = mesh.facet_local_index[ids]
+
+        if dim == 2:
+            qf, wf = elements.interval_quadrature(deg)
+            qf = qf.reshape(-1, 1)
+        else:
+            qf, wf = elements.triangle_quadrature(deg)
+        nqf = len(wf)
+
+        n_local = dim + 1
+        N2_tab = np.empty((n_local, nqf, self.N2.shape[1]))
+        G2_tab = np.empty((n_local, nqf, self.N2.shape[1], dim))
+        N1_tab = np.empty((n_local, nqf, dim + 1))
+        ref_pts = np.empty((n_local, nqf, dim))
+        for lf in range(n_local):
+            emb = elements.facet_embedding(dim, lf, qf)
+            ref_pts[lf] = emb
+            N2_tab[lf], G2_tab[lf] = elements.tabulate(2, emb, dim)
+            N1_tab[lf], _ = elements.tabulate(1, emb, dim)
+
+        # physical quadrature coords via the cell affine map
+        xi = ref_pts[local]                                # (nf, nqf, dim)
+        xq = (self.cell_origin[cells][:, None, :]
+              + np.einsum("cde,cqe->cqd", self.J[cells], xi))
+        # facet measure: weights on the reference facet sum to 1 (2D) or
+        # 1/2 (3D reference triangle), scale to the physical facet measure
+        areas = mesh.facet_areas(ids)
+        wsum = wf.sum()
+        weights = areas[:, None] * (wf[None, :] / wsum)
+        normals = mesh.facet_outward_normals(ids)
+
+        return {
+            "facet_ids": ids.astype(np.int32),
+            "cells": cells.astype(np.int32),
+            "local": local.astype(np.int32),
+            "N2": N2_tab[local],        # (nf, nqf, 6|10)
+            "G2": G2_tab[local],        # (nf, nqf, 6|10, dim)
+            "N1": N1_tab[local],        # (nf, nqf, 3|4)
+            "x": xq,                    # (nf, nqf, dim)
+            "weights": weights,         # (nf, nqf)
+            "normals": normals,         # (nf, dim)
+        }
+
+    # -- interpolation ------------------------------------------------------
+    def interpolate_velocity(self, fn, t=None) -> np.ndarray:
+        """Nodal interpolation of a velocity callable onto (n_unodes, dim)."""
+        vals = _eval_field(fn, self.u_coords, t, self.dim)
+        return np.asarray(vals, dtype=np.float64).reshape(self.n_unodes,
+                                                          self.dim)
+
+    def interpolate_pressure(self, fn, t=None) -> np.ndarray:
+        vals = _eval_field(fn, self.p_coords, t, None)
+        return np.asarray(vals, dtype=np.float64).reshape(self.n_pnodes)
+
+
+def _eval_field(fn, coords, t, vector_dim):
+    """Evaluate a constant / tuple / callable field at coordinates."""
+    n = len(coords)
+    if callable(fn):
+        try:
+            vals = fn(coords, t) if _accepts_time(fn) else fn(coords)
+        except TypeError:
+            vals = fn(coords)
+        vals = np.asarray(vals, dtype=np.float64)
+        if vector_dim is not None and vals.shape != (n, vector_dim):
+            vals = np.broadcast_to(vals, (n, vector_dim))
+        elif vector_dim is None:
+            vals = np.broadcast_to(vals.reshape(-1), (n,)) \
+                if vals.size in (1, n) else vals
+        return vals
+    if vector_dim is not None:
+        arr = np.asarray(fn, dtype=np.float64).reshape(1, vector_dim)
+        return np.broadcast_to(arr, (n, vector_dim))
+    return np.full(n, float(fn))
+
+
+def _accepts_time(fn) -> bool:
+    import inspect
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):  # pragma: no cover
+        return False
+    required = [p for p in params.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    return len(required) >= 2 or any(p.name in ("t", "time")
+                                     for p in params.values())

@@ -1,1 +1,12 @@
-"""Placeholder."""
+"""Navier-Stokes solvers: stationary Picard->Newton, monolithic BDF, IPCS."""
+
+from navierstokes_tpu.solvers.base import SolverBase  # noqa: F401
+from navierstokes_tpu.solvers.stationary import (  # noqa: F401
+    StationarySolver,
+    StationarySolverBase,
+)
+from navierstokes_tpu.solvers.transient import (  # noqa: F401
+    InstationarySolverBase,
+)
+from navierstokes_tpu.solvers.bdf import ImplicitBDFSolver  # noqa: F401
+from navierstokes_tpu.solvers.ipcs import IPCSSolver  # noqa: F401

@@ -1,0 +1,316 @@
+"""Shared solver machinery: spaces, BC bookkeeping, coefficients, sources.
+
+TPU-native counterpart of the reference's ``SolverBase``
+(source/ns_solver_base.py:59-870): the same setter API and validation rules
+(BC format checks :302-368, velocity/traction conflict rules :767-794,
+traction BCs forcing the traction-form viscous term :823-825, internal
+constraints as Dirichlet data on interior facets :796-819), but compiled
+into device arrays instead of dolfin objects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from navierstokes_tpu import config
+from navierstokes_tpu.assembly.operators import MixedOperator
+from navierstokes_tpu.fem.bcs import (PressureBCType, TractionBCType,
+                                      VelocityBCType)
+from navierstokes_tpu.fem.dirichlet import (compile_dirichlet_bcs,
+                                            validate_bc_format)
+from navierstokes_tpu.fem.spaces import TaylorHoodSpace, _eval_field
+from navierstokes_tpu.mesh.core import FacetMarkers, SimplexMesh
+from navierstokes_tpu.problems.rotation import AngularVelocityVector
+
+
+class SolverBase:
+    """Base class: mixed P2/P1 space + BC/coefficient/source machinery."""
+
+    _sub_space_association = {0: "velocity", 1: "pressure"}
+    _field_association = {"velocity": 0, "pressure": 1}
+
+    def __init__(self, mesh: SimplexMesh, boundary_markers: FacetMarkers,
+                 form_convective_term="standard", form_viscous_term="reduced"):
+        assert isinstance(mesh, SimplexMesh)
+        assert isinstance(boundary_markers, FacetMarkers)
+        self._mesh = mesh
+        self._boundary_markers = boundary_markers
+        self._space_dim = mesh.dim
+        self._n_cells = mesh.n_cells
+        self._form_convective_term = form_convective_term
+        self._form_viscous_term = form_viscous_term
+        self._p_deg = 1
+
+        self._periodic = None
+        self._constrained_boundary_ids = ()
+        self._velocity_bcs = []
+        self._pressure_bcs = []
+        self._traction_bcs = []
+        self._body_force = None
+        self._angular_velocity = None
+        self._equation_coefficients = None
+        self._space = None
+        self._operator = None
+
+    # ------------------------------------------------------------------ API
+    def set_periodic_boundary_conditions(self, periodic_pairs,
+                                         constrained_boundary_ids):
+        """Periodic identification (list of fem.spaces.PeriodicPair)."""
+        from navierstokes_tpu.fem.spaces import PeriodicPair
+
+        if isinstance(periodic_pairs, PeriodicPair):
+            periodic_pairs = [periodic_pairs]
+        assert all(isinstance(p, PeriodicPair) for p in periodic_pairs)
+        self._periodic = list(periodic_pairs)
+        self._constrained_boundary_ids = tuple(constrained_boundary_ids)
+
+    def set_boundary_conditions(self, bcs, internal_constraints=None):
+        """BC spec tuples, split and validated as in the reference."""
+        assert isinstance(bcs, (list, tuple))
+        for bc in bcs:
+            validate_bc_format(bc, self._space_dim, self._boundary_markers,
+                               self._mesh)
+
+        velocity_bcs, traction_bcs, pressure_bcs = [], [], []
+        velocity_ids, traction_ids, pressure_ids = set(), set(), set()
+        for bc in bcs:
+            if self._periodic is not None:
+                assert bc[1] not in self._constrained_boundary_ids
+            if isinstance(bc[0], VelocityBCType):
+                velocity_bcs.append(bc)
+                velocity_ids.add(bc[1])
+            elif isinstance(bc[0], TractionBCType):
+                traction_bcs.append(bc)
+                traction_ids.add(bc[1])
+            elif isinstance(bc[0], PressureBCType):
+                pressure_bcs.append(bc)
+                pressure_ids.add(bc[1])
+        if self._periodic is None:
+            assert len(velocity_bcs) > 0
+
+        # velocity/traction conflicts allowed component-wise only
+        if traction_bcs:
+            allowed_v = (VelocityBCType.no_normal_flux,
+                         VelocityBCType.no_tangential_flux,
+                         VelocityBCType.constant_component,
+                         VelocityBCType.function_component)
+            allowed_t = (TractionBCType.constant_component,
+                         TractionBCType.function_component)
+            for bndry_id in velocity_ids & traction_ids:
+                v_comp = t_comp = None
+                for bc in velocity_bcs:
+                    if bc[1] == bndry_id:
+                        assert bc[0] in allowed_v
+                        v_comp = bc[2]
+                        break
+                for bc in traction_bcs:
+                    if bc[1] == bndry_id:
+                        assert bc[0] in allowed_t
+                        t_comp = bc[2]
+                        break
+                assert t_comp != v_comp
+
+        if internal_constraints is not None:
+            for bc in internal_constraints:
+                validate_bc_format(bc, self._space_dim,
+                                   self._boundary_markers, self._mesh,
+                                   internal_constraint=True)
+                assert bc[1] not in velocity_ids | traction_ids | pressure_ids
+                if isinstance(bc[0], VelocityBCType):
+                    velocity_bcs.append(bc)
+                elif isinstance(bc[0], PressureBCType):
+                    pressure_bcs.append(bc)
+                else:  # pragma: no cover
+                    raise NotImplementedError(
+                        "traction internal constraints are not supported")
+
+        self._velocity_bcs = velocity_bcs
+        self._pressure_bcs = pressure_bcs
+        self._traction_bcs = traction_bcs
+        if traction_bcs:
+            # natural traction data only pairs with the traction-form term
+            self._form_viscous_term = "traction"
+
+    def set_equation_coefficients(self, input_coefficients: dict):
+        possible = ("convective_term", "coriolis_term", "euler_term",
+                    "pressure_term", "viscous_term", "body_force_term")
+        assert all(k in possible for k in input_coefficients)
+        coeffs = dict.fromkeys(possible)
+        coeffs.update(input_coefficients)
+        for key, value in coeffs.items():
+            if value is not None:
+                assert isinstance(value, float) and value > 0.0
+        self._equation_coefficients = coeffs
+
+    def set_body_force(self, body_force):
+        """Constant tuple or callable f(x[, t]) -> (n, dim)."""
+        self._body_force = body_force
+
+    def set_angular_velocity(self, angular_velocity):
+        assert isinstance(angular_velocity, AngularVelocityVector)
+        assert angular_velocity.space_dim == self._space_dim
+        self._angular_velocity = angular_velocity
+
+    @property
+    def field_association(self):
+        return self._field_association
+
+    @property
+    def sub_space_association(self):
+        return self._sub_space_association
+
+    @property
+    def space(self) -> TaylorHoodSpace:
+        return self._space
+
+    @property
+    def operator(self) -> MixedOperator:
+        return self._operator
+
+    @property
+    def solution(self):
+        """Mixed solution vector (velocity nodal field + pressure)."""
+        return self._solution
+
+    def solve(self):  # pragma: no cover
+        raise NotImplementedError("You are calling a purely virtual method.")
+
+    # ------------------------------------------------------------- internals
+    def _setup_space(self):
+        self._space = TaylorHoodSpace(self._mesh, periodic=self._periodic)
+        print("Number of cells {0}, number of DoFs: {1}".format(
+            self._n_cells, self._space.n_dofs))
+
+    def _setup_operator(self):
+        self._operator = MixedOperator(
+            self._space, self._form_convective_term, self._form_viscous_term,
+            with_coriolis=self._angular_velocity is not None)
+
+    def _compile_boundary_conditions(self):
+        """Dirichlet data, pressure pinning policy, traction batches."""
+        self._dirichlet, self._mean_pressure_value = compile_dirichlet_bcs(
+            self._space, self._boundary_markers, self._velocity_bcs,
+            self._pressure_bcs)
+
+        bc_dofs = self._dirichlet.dofs
+        # pressure nullspace: pin one pressure dof when nothing else fixes
+        # the constant (the reference leans on LU pivoting luck there; we
+        # make it deterministic and shift afterwards where required)
+        has_pressure_dirichlet = any(
+            bc[0] in (PressureBCType.constant, PressureBCType.function)
+            for bc in self._pressure_bcs)
+        self._pressure_pin_dof = None
+        if not has_pressure_dirichlet:
+            self._pressure_pin_dof = int(self._space.pressure_offset)
+            bc_dofs = np.unique(np.concatenate(
+                [bc_dofs, [self._pressure_pin_dof]])).astype(np.int32)
+        self._bc_dofs_all = bc_dofs
+        self._operator.set_bc_dofs(bc_dofs)
+
+        # traction batches
+        self._traction_batches = []
+        for bc in self._traction_bcs:
+            if bc[0] is TractionBCType.free:
+                continue
+            if len(bc) == 3:
+                bc_type, bndry_id, value = bc
+                component = None
+            else:
+                bc_type, bndry_id, component, value = bc
+            facet_ids = self._boundary_markers.ids_with_value(bndry_id)
+            assert len(facet_ids) > 0
+            batch = self._space.facet_batch(facet_ids)
+            dev = self._operator.facet_batch_device(batch)
+            self._traction_batches.append(
+                dict(batch=dev, x=batch["x"], value=value,
+                     component=component,
+                     time_dependent=callable(value)))
+
+    def _bc_values(self, t=None) -> jnp.ndarray:
+        """Aligned values for operator.bc_dofs (pin rows carry 0)."""
+        vals = self._dirichlet.values(t)
+        full = np.zeros(len(self._bc_dofs_all))
+        pos = np.searchsorted(self._bc_dofs_all, self._dirichlet.dofs)
+        full[pos] = vals
+        return jnp.asarray(full, dtype=config.default_dtype())
+
+    def _traction_extra_ru(self, t=None):
+        """Sum of traction contributions, or None."""
+        if not self._traction_batches:
+            return None
+        total = None
+        for tb in self._traction_batches:
+            x = tb["x"]                           # (nf, nq, dim) host coords
+            nf, nq, dim = x.shape
+            if tb["component"] is None:
+                vals = _eval_field(tb["value"], x.reshape(-1, dim), t, dim)
+                t_q = vals.reshape(nf, nq, dim)
+            else:
+                vals = _eval_field(tb["value"], x.reshape(-1, dim), t, None)
+                t_q = np.zeros((nf * nq, dim))
+                t_q[:, tb["component"]] = np.asarray(vals).reshape(-1)
+                t_q = t_q.reshape(nf, nq, dim)
+            contrib = self._operator.traction_residual(
+                tb["batch"], jnp.asarray(t_q, dtype=config.default_dtype()))
+            total = contrib if total is None else total + contrib
+        return total
+
+    def _momentum_source(self, t=None, extra_quad=None):
+        """u-independent momentum source at quadrature points, or 0.0.
+
+        Combines -c_f * body_force and the Euler acceleration
+        c_e * d(omega)/dt x r (reference: ns_solver_base.py:158-211);
+        ``extra_quad`` lets transient solvers add the BDF history term.
+        """
+        coeffs = self._equation_coefficients
+        source = None
+        if self._body_force is not None:
+            cf = coeffs["body_force_term"]
+            assert cf is not None, "body force requires Fr"
+            xq = self._space.quad_coords()
+            nc, nq, dim = xq.shape
+            f = _eval_field(self._body_force, xq.reshape(-1, dim), t, dim)
+            source = -cf * f.reshape(nc, nq, dim)
+        if self._angular_velocity is not None:
+            alpha = self._angular_velocity.derivative
+            if alpha is not None:
+                ce = coeffs["euler_term"]
+                xq = self._space.quad_coords()
+                if self._space_dim == 2:
+                    euler = ce * float(alpha) * np.stack(
+                        [-xq[..., 1], xq[..., 0]], axis=-1)
+                else:
+                    a = np.asarray(alpha)
+                    euler = ce * np.cross(np.broadcast_to(a, xq.shape), xq)
+                source = euler if source is None else source + euler
+        if source is not None and extra_quad is not None:
+            source = jnp.asarray(source, dtype=config.default_dtype()) \
+                + extra_quad
+        elif source is not None:
+            source = jnp.asarray(source, dtype=config.default_dtype())
+        elif extra_quad is not None:
+            source = extra_quad
+        return 0.0 if source is None else source
+
+    def _scalars(self):
+        """Traced coefficient dict for the element kernels."""
+        coeffs = self._equation_coefficients
+        scalars = {
+            "cc": coeffs["convective_term"],
+            "cv": coeffs["viscous_term"],
+            "cp": coeffs["pressure_term"],
+            "accel0": 0.0,
+        }
+        if self._angular_velocity is not None:
+            c_cor = coeffs["coriolis_term"]
+            omega = self._angular_velocity.value
+            if self._space_dim == 2:
+                scalars["cor"] = 2.0 * c_cor * float(omega)
+            else:
+                scalars["cor"] = 2.0 * c_cor * jnp.asarray(omega)
+        return scalars
+
+    def _apply_bc_values_to_x(self, x, t=None):
+        return x.at[jnp.asarray(self._bc_dofs_all)].set(self._bc_values(t))

@@ -1,0 +1,206 @@
+"""Incremental pressure-correction (IPCS) fractional-step solver.
+
+Counterpart of the reference's ``IPCSSolver`` (source/ns_ipcs_solver.py):
+three sub-solves per step on the collapsed subspaces,
+
+  1. *diffusion* -- nonlinear velocity step for the intermediate velocity
+     u*: BDF acceleration + convection + lagged pressure gradient +
+     viscous term, Newton iteration (:106-147);
+  2. *projection* -- pressure Poisson
+     (grad p, grad q) = (grad p_old, grad q) - (alpha0/k) (div u*, q)
+     with pressure Dirichlet BCs (:149-171);
+  3. *velocity correction* -- mass solve
+     (u, w) = (u*, w) - (k/alpha0) (grad(p - p_old), w) with velocity
+     Dirichlet BCs (:173-196).
+
+This is the TPU-performance path: steps 2 and 3 are SPD solves running as
+matrix-free CG at SpMV speed; step 1 reuses the sparse velocity-block
+Newton.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from navierstokes_tpu import config
+from navierstokes_tpu.assembly.operators import (PressurePoissonOperator,
+                                                 VelocityOperator)
+from navierstokes_tpu.fem.dirichlet import compile_dirichlet_bcs
+from navierstokes_tpu.linalg.direct import HostSparseLU, dense_solve
+from navierstokes_tpu.linalg.krylov import masked_spd_solve
+from navierstokes_tpu.solvers.stationary import solve_linear_system
+from navierstokes_tpu.solvers.transient import InstationarySolverBase
+from navierstokes_tpu.timestepping import BDFTimeStepping
+
+
+class IPCSSolver(InstationarySolverBase):
+
+    def __init__(self, mesh, boundary_markers, form_convective_term,
+                 time_stepping, tol=None, max_iter=50,
+                 form_viscous_term="reduced", linear_solver=None):
+        assert isinstance(time_stepping, BDFTimeStepping)
+        super().__init__(mesh, boundary_markers, form_convective_term,
+                         time_stepping, tol, max_iter, form_viscous_term,
+                         linear_solver)
+
+    # -- setup ---------------------------------------------------------------
+    def _setup_function_spaces(self):
+        super()._setup_function_spaces()
+        dt = config.default_dtype()
+        space = self._space
+        n = self._n_levels() + 1
+        self._velocities = [jnp.zeros((space.n_unodes, space.dim), dtype=dt)
+                            for _ in range(n)]
+        self._intermediate_velocity = jnp.zeros(
+            (space.n_unodes, space.dim), dtype=dt)
+        self._pressure = jnp.zeros(space.n_pnodes, dtype=dt)
+        self._old_pressure = jnp.zeros(space.n_pnodes, dtype=dt)
+
+    def _setup_scheme(self):
+        space = self._space
+        self._vel_operator = VelocityOperator(space,
+                                              self._form_convective_term,
+                                              self._form_viscous_term)
+        self._poisson = PressurePoissonOperator(space)
+
+        # split Dirichlet data onto the collapsed subspaces
+        self._vel_dirichlet, _ = compile_dirichlet_bcs(
+            space, self._boundary_markers, self._velocity_bcs, ())
+        self._vel_operator.set_bc_dofs(self._vel_dirichlet.dofs)
+        from navierstokes_tpu.fem.bcs import PressureBCType
+        self._pres_dirichlet, _ = compile_dirichlet_bcs(
+            space, self._boundary_markers, (), [
+                bc for bc in self._pressure_bcs
+                if bc[0] is not PressureBCType.mean_value])
+        p_bc_ranks = (np.asarray(self._pres_dirichlet.dofs, dtype=np.int64)
+                      - space.pressure_offset)
+        if len(p_bc_ranks) == 0:
+            # unconstrained pressure: pin one dof for solvability
+            p_bc_ranks = np.array([0], dtype=np.int64)
+            self._pressure_pinned = True
+        else:
+            self._pressure_pinned = False
+        mask = np.zeros(space.n_pnodes, dtype=bool)
+        mask[p_bc_ranks] = True
+        self._p_bc_mask = jnp.asarray(mask)
+        self._p_bc_ranks = p_bc_ranks
+
+        vmask = np.zeros(space.n_unodes * space.dim, dtype=bool)
+        vmask[np.asarray(self._vel_dirichlet.dofs, dtype=np.int64)] = True
+        self._v_bc_mask = jnp.asarray(vmask)
+
+    def set_initial_conditions(self, initial_conditions):
+        super().set_initial_conditions(initial_conditions)
+        u0, p0 = self._space.split(self._solutions[0])
+        self._velocities[0] = u0
+        self._velocities[1] = u0
+        self._intermediate_velocity = u0
+        self._pressure = p0
+        self._old_pressure = p0
+
+    # -- stepping ------------------------------------------------------------
+    def advance_time(self):
+        super().advance_time()
+        for i in range(len(self._velocities) - 1, 0, -1):
+            self._velocities[i] = self._velocities[i - 1]
+        self._old_pressure = self._pressure
+
+    def _vel_bc_values(self, t):
+        vals = self._vel_dirichlet.values(t)
+        return jnp.asarray(vals, dtype=config.default_dtype())
+
+    def _solve_time_step(self, next_time):
+        space = self._space
+        vop = self._vel_operator
+        k = self._next_step_size
+        alpha = self._alpha
+
+        scalars = self._scalars()
+        scalars["accel0"] = alpha[0] / k
+
+        # BDF history from the velocity ring
+        history = None
+        for i in range(1, len(alpha)):
+            if alpha[i] == 0.0:
+                continue
+            term = (alpha[i] / k) * self._operator.u_at_quad(
+                self._velocities[i])
+            history = term if history is None else history + term
+        source_q = self._momentum_source(t=next_time, extra_quad=history)
+
+        # (1) diffusion step: Newton for the intermediate velocity
+        bc_values = self._vel_bc_values(next_time)
+        ustar = self._intermediate_velocity.reshape(-1)
+        ustar = ustar.at[jnp.asarray(vop._bc_dofs)].set(bc_values)
+
+        def res_norm(uv):
+            return float(jnp.linalg.norm(
+                vop.residual(uv, bc_values, scalars, self._old_pressure,
+                             source_q)))
+
+        res = res_norm(ustar)
+        res0 = res
+        for _ in range(self._maxiter):
+            if res <= max(self._tol, 1.0e1 * self._tol * res0):
+                break
+            r = vop.residual(ustar, bc_values, scalars, self._old_pressure,
+                             source_q)
+
+            def provider(kind):
+                J = vop.jacobian_csr(ustar, scalars, self._old_pressure,
+                                     source_q)
+                return J.todense() if kind == "dense" else J
+
+            dx = solve_linear_system(provider, -r, vop.n_dofs,
+                                     self._linear_solver)
+            ustar = ustar + dx
+            res = res_norm(ustar)
+        else:
+            raise RuntimeError(
+                f"IPCS diffusion step did not converge: residual {res:.3e}")
+        self._intermediate_velocity = ustar.reshape(-1, space.dim)
+
+        # (2) pressure projection (Poisson, SPD, masked CG)
+        pop = self._poisson
+        grad_p_old = self._operator.grad_p_at_quad(self._old_pressure)
+        div_ustar = jnp.trace(self._operator.grad_u_at_quad(
+            self._intermediate_velocity), axis1=2, axis2=3)
+        rhs = (pop.rhs_grad_dot_gradq(grad_p_old)
+               - (alpha[0] / k) * pop.rhs_scalar(div_ustar))
+        p_bc_full = jnp.zeros(space.n_pnodes, dtype=config.default_dtype())
+        if not self._pressure_pinned:
+            vals = self._pres_dirichlet.values(next_time)
+            p_bc_full = p_bc_full.at[jnp.asarray(self._p_bc_ranks)].set(
+                jnp.asarray(vals))
+        p_new, _ = masked_spd_solve(pop.stiffness_matvec, rhs,
+                                    self._p_bc_mask, p_bc_full,
+                                    tol=1e-14)
+        self._pressure = p_new
+
+        # (3) velocity correction (mass solve, SPD, masked CG)
+        grad_dp = self._operator.grad_p_at_quad(self._pressure
+                                                - self._old_pressure)
+        u_star_q = self._operator.u_at_quad(self._intermediate_velocity)
+        rhs_u = vop.mass_rhs(u_star_q - (k / alpha[0]) * grad_dp)
+        v_bc_full = jnp.zeros(space.n_unodes * space.dim,
+                              dtype=config.default_dtype())
+        v_bc_full = v_bc_full.at[jnp.asarray(vop._bc_dofs)].set(bc_values)
+        u_new, _ = masked_spd_solve(vop.mass_matvec, rhs_u, self._v_bc_mask,
+                                    v_bc_full, tol=1e-14)
+        self._velocities[0] = u_new.reshape(-1, space.dim)
+
+        self._solutions[0] = space.join(self._velocities[0], self._pressure)
+
+    def _shift_mean_pressure(self):
+        mean = self._operator.mean_pressure(self._pressure)
+        self._pressure = self._pressure - (mean - self._mean_pressure_value)
+        self._solutions[0] = self._space.join(self._velocities[0],
+                                              self._pressure)
+
+    @property
+    def solution(self):
+        self._solutions[0] = self._space.join(self._velocities[0],
+                                              self._pressure)
+        return self._solutions[0]
