@@ -293,6 +293,14 @@ class TaylorHoodSpace:
         vals = _eval_field(fn, self.p_coords, t, None)
         return np.asarray(vals, dtype=np.float64).reshape(self.n_pnodes)
 
+    # -- vertex extraction (for visualization output) -----------------------
+    def vertex_velocity(self, u) -> np.ndarray:
+        """Velocity at mesh vertices (n_vertices, dim)."""
+        return np.asarray(u)[self._u_node_map[:self.mesh.n_vertices]]
+
+    def vertex_pressure(self, p) -> np.ndarray:
+        return np.asarray(p)[self._p_node_map[:self.mesh.n_vertices]]
+
 
 def _eval_field(fn, coords, t, vector_dim):
     """Evaluate a constant / tuple / callable field at coordinates."""

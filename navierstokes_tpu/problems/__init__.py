@@ -7,3 +7,8 @@ from navierstokes_tpu.problems.rotation import (  # noqa: F401
     AngularVelocityVector,
     FunctionTime,
 )
+from navierstokes_tpu.problems.base import (  # noqa: F401,E402
+    InstationaryProblem,
+    ProblemBase,
+    StationaryProblem,
+)

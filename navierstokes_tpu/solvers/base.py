@@ -195,14 +195,16 @@ class SolverBase:
             self._pressure_bcs)
 
         bc_dofs = self._dirichlet.dofs
-        # pressure nullspace: pin one pressure dof when nothing else fixes
-        # the constant (the reference leans on LU pivoting luck there; we
-        # make it deterministic and shift afterwards where required)
-        has_pressure_dirichlet = any(
-            bc[0] in (PressureBCType.constant, PressureBCType.function)
-            for bc in self._pressure_bcs)
+        # pressure nullspace: a constant pressure mode exists iff the test
+        # space carries no normal velocity anywhere on the boundary (fully
+        # enclosed/periodic flow) and no pressure Dirichlet BC is set.  Then
+        # one pressure dof is pinned for a deterministic solve (the
+        # reference leans on LU pivoting luck there) and mean-value shifts
+        # happen afterwards where requested.
         self._pressure_pin_dof = None
-        if not has_pressure_dirichlet:
+        if not any(bc[0] in (PressureBCType.constant, PressureBCType.function)
+                   for bc in self._pressure_bcs) \
+                and self._boundary_fully_normal_constrained():
             self._pressure_pin_dof = int(self._space.pressure_offset)
             bc_dofs = np.unique(np.concatenate(
                 [bc_dofs, [self._pressure_pin_dof]])).astype(np.int32)
@@ -227,6 +229,22 @@ class SolverBase:
                 dict(batch=dev, x=batch["x"], value=value,
                      component=component,
                      time_dependent=callable(value)))
+
+    def _boundary_fully_normal_constrained(self) -> bool:
+        """True if every exterior boundary id constrains the normal velocity
+        (via a full-vector or no-normal-flux BC) or is periodic."""
+        from navierstokes_tpu.mesh.core import extract_all_boundary_markers
+
+        normal_constraining = (VelocityBCType.no_slip,
+                               VelocityBCType.no_normal_flux,
+                               VelocityBCType.constant,
+                               VelocityBCType.function)
+        covered = {bc[1] for bc in self._velocity_bcs
+                   if bc[0] in normal_constraining}
+        covered |= set(self._constrained_boundary_ids)
+        all_ids = extract_all_boundary_markers(self._mesh,
+                                               self._boundary_markers)
+        return all_ids <= covered
 
     def _bc_values(self, t=None) -> jnp.ndarray:
         """Aligned values for operator.bc_dofs (pin rows carry 0)."""

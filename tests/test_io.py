@@ -1,0 +1,92 @@
+"""Output writers and checkpoint/resume round-trips."""
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from navierstokes_tpu.fem.bcs import PressureBCType, VelocityBCType
+from navierstokes_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from navierstokes_tpu.io.output import (FieldWriter, write_boundary_markers,
+                                        write_vtu)
+from navierstokes_tpu.mesh import HyperRectangleBoundaryMarkers as M
+from navierstokes_tpu.mesh import hyper_cube, hyper_rectangle
+from navierstokes_tpu.solvers import ImplicitBDFSolver
+from navierstokes_tpu.timestepping import BDFTimeStepping
+
+
+def test_field_writer_xdmf(tmp_path):
+    mesh, _ = hyper_cube(2, 4)
+    writer = FieldWriter(str(tmp_path / "out.xdmf"), mesh, fmt="xdmf")
+    vel = np.random.default_rng(0).random((mesh.n_vertices, 2))
+    writer.write(0.0, {"velocity": vel, "pressure": vel[:, 0]})
+    writer.write(0.5, {"velocity": vel, "pressure": vel[:, 0]})
+    assert (tmp_path / "out.xdmf").exists()
+    assert (tmp_path / "out.h5").exists()
+    import h5py
+
+    with h5py.File(tmp_path / "out.h5") as h5:
+        assert h5["step1/velocity"].shape == (mesh.n_vertices, 2)
+
+
+def test_field_writer_pvd(tmp_path):
+    mesh, _ = hyper_cube(2, 3)
+    writer = FieldWriter(str(tmp_path / "out.pvd"), mesh, fmt="pvd")
+    writer.write(0.0, {"pressure": np.zeros(mesh.n_vertices)})
+    assert (tmp_path / "out.pvd").exists()
+    assert (tmp_path / "out_000000.vtu").exists()
+
+
+def test_write_boundary_markers(tmp_path):
+    mesh, markers = hyper_cube(2, 3)
+    path = str(tmp_path / "markers.vtu")
+    write_boundary_markers(path, mesh, markers)
+    assert os.path.exists(path)
+    assert "marker" in open(path).read()
+
+
+def _make_channel_solver(dt=0.01):
+    mesh, markers = hyper_rectangle((0.0, 0.0), (5.0, 1.0), (15, 3))
+    ts = BDFTimeStepping(0.0, 1.0, desired_start_time_step=dt)
+    solver = ImplicitBDFSolver(mesh, markers, "standard", ts)
+    inlet = lambda x: np.stack([x[:, 1] * (1 - x[:, 1]),
+                                np.zeros(len(x))], axis=1)
+    solver.set_boundary_conditions(
+        ((VelocityBCType.function, M.left.value, inlet),
+         (VelocityBCType.no_slip, M.bottom.value, None),
+         (VelocityBCType.no_slip, M.top.value, None),
+         (PressureBCType.constant, M.right.value, 0.0)))
+    solver.set_equation_coefficients(
+        {"convective_term": 1.0, "viscous_term": 0.1, "pressure_term": 1.0,
+         "coriolis_term": None, "euler_term": None, "body_force_term": None})
+    solver.set_initial_conditions({"velocity": (0.0, 0.0)})
+    return solver, ts
+
+
+def test_checkpoint_resume(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+
+    # run 4 steps, checkpoint at step 2
+    solver, ts = _make_channel_solver()
+    for step in range(4):
+        ts.update_coefficients()
+        solver.solve()
+        ts.advance_time()
+        solver.advance_time()
+        if step == 1:
+            save_checkpoint(path, solver, ts)
+    x_ref = np.asarray(solver.solution)
+
+    # fresh solver, resume from the checkpoint, run the remaining 2 steps
+    solver2, ts2 = _make_channel_solver()
+    solver2._setup_problem()
+    load_checkpoint(path, solver2, ts2)
+    assert ts2.step_number == 2
+    for _ in range(2):
+        ts2.update_coefficients()
+        solver2.solve()
+        ts2.advance_time()
+        solver2.advance_time()
+    x_resumed = np.asarray(solver2.solution)
+    assert np.abs(x_resumed - x_ref).max() < 1e-12
