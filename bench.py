@@ -1,0 +1,82 @@
+"""Benchmark: Taylor-Green vortex, fused semi-implicit projection steps.
+
+Measures sustained DoF-steps/sec (assembly + solve, everything inside one
+XLA program per step) on the default accelerator -- the BASELINE.json
+metric.  The configuration matches the reference's accuracy north-star
+(Taylor-Green, Re=100, periodic Taylor-Hood P2/P1,
+convergence_test/taylor_green_vortex.py) on a 128^2 mesh (~148k DoF).
+
+The reference publishes no throughput numbers (no benchmarks/ directory,
+no timing code; see SURVEY.md §6).  ``BASELINE_DOF_STEPS_PER_SEC`` is the
+documented proxy: FEniCS assembly + sparse-direct solves on a workstation
+CPU sustain O(0.5s)/step at this size, i.e. ~3e5 DoF-steps/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_DOF_STEPS_PER_SEC = 3.0e5
+N_POINTS = int(os.environ.get("NS_BENCH_N", "128"))
+N_STEPS = int(os.environ.get("NS_BENCH_STEPS", "20"))
+RE = 100.0
+DT = 1.0e-3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_step, _taylor_green_setup
+    from navierstokes_tpu.parallel.sharded import device_mesh
+
+    space, u0, p0 = _taylor_green_setup(N_POINTS)
+    step = _build_step(space, device_mesh(1), dt=DT, visc=1.0 / RE,
+                       cg_iters=(25, 50, 12))
+
+    dtype = jnp.float64 if jax.config.read("jax_enable_x64") \
+        else jnp.float32
+    u = jax.device_put(jnp.asarray(u0.reshape(-1), dtype=dtype))
+    p = jax.device_put(jnp.asarray(p0, dtype=dtype))
+    one = lambda v: jnp.asarray(v, dtype)
+    alpha1 = (one(1.0), one(-1.0), one(0.0))     # startup: BDF-1
+    alpha2 = (one(1.5), one(-2.0), one(0.5))     # uniform-step SBDF-2
+    eta1 = (one(1.0), one(0.0))
+    eta2 = (one(2.0), one(-1.0))
+
+    # warmup: run enough evolving-state steps that every input-sharding
+    # combination the timed loop will see is already compiled
+    u_old = u
+    u_new, p = step(u, u_old, p, alpha1, eta1)
+    u_old, u = u, u_new
+    for _ in range(3):
+        u_new, p = step(u, u_old, p, alpha2, eta2)
+        u_old, u = u, u_new
+    jax.block_until_ready(u)
+
+    t0 = time.perf_counter()
+    for _ in range(N_STEPS):
+        u_new, p = step(u, u_old, p, alpha2, eta2)
+        u_old, u = u, u_new
+    jax.block_until_ready(u)
+    elapsed = time.perf_counter() - t0
+
+    finite = bool(jnp.all(jnp.isfinite(u)))
+    steps_per_sec = N_STEPS / elapsed if finite else 0.0
+    value = steps_per_sec * space.n_dofs
+
+    print(json.dumps({
+        "metric": "DoF-steps/sec (assembly+solve, Taylor-Green "
+                  f"{N_POINTS}x{N_POINTS} SBDF2 projection)",
+        "value": round(value, 1),
+        "unit": "dof*steps/s",
+        "vs_baseline": round(value / BASELINE_DOF_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
