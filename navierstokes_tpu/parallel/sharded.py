@@ -1,4 +1,4 @@
-"""Cell-parallel (domain-decomposed) assembly over a device mesh.
+"""Cell-parallel (domain-decomposed) matrix-free operators.
 
 Strategy (round 1): **cell sharding with replicated dof vectors** -- the
 FEM analogue of data parallelism.  The element loop dominates matrix-free
@@ -6,14 +6,24 @@ Krylov cost, and its scatter is a sum over disjoint cell batches:
 
     r = sum_d scatter(elements of shard d)         (psum over the mesh)
 
-Each device holds an equal chunk of the per-cell arrays (gather maps,
-geometry, quadrature weights); solution vectors are replicated.  The only
-collective is one ``psum`` per operator application, riding ICI.  Mesh
-partitioning keeps spatially contiguous chunks (cells are generated
-lexicographically) so gather locality is preserved.
+Each device holds an equal chunk of the per-cell arrays; solution vectors
+are replicated.  The only collective is one ``psum`` per operator
+application, riding ICI.
 
-Later rounds: row-partitioned dof sharding with ``ppermute`` halo exchange
-for memory-bound scaling beyond replicated vectors.
+TPU-performance design:
+
+* the *linear* operators (mass, stiffness, pressure-gradient coupling)
+  are precomputed as per-cell element matrices once at setup -- each
+  matvec is then a gather + batched small matmul instead of re-running
+  the quadrature loop;
+* scatter-accumulation uses a precomputed **transpose-gather table**
+  (node -> list of contributing (cell, local-node) slots, ELL-padded):
+  a gather + sum, which vectorizes on the VPU, instead of
+  ``scatter-add``, which serializes on TPU;
+* only the nonlinear convection assembly keeps the quadrature loop.
+
+Later rounds: row-partitioned dof sharding with ``ppermute`` halo
+exchange for memory-bound scaling beyond replicated vectors.
 """
 
 from __future__ import annotations
@@ -23,10 +33,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from navierstokes_tpu import config
-from navierstokes_tpu.assembly import kernels
 from navierstokes_tpu.fem.spaces import TaylorHoodSpace
 
 
@@ -38,167 +47,244 @@ def device_mesh(n_devices=None, axis="shard"):
     return Mesh(np.array(devices), (axis,))
 
 
-def _pad_cells(arr, n_pad):
-    """Pad the leading (cell) axis with repeats of cell 0, weight-zeroed
-    separately."""
-    if n_pad == 0:
-        return arr
-    pad = jnp.repeat(arr[:1], n_pad, axis=0)
-    return jnp.concatenate([arr, pad], axis=0)
+def build_scatter_transpose(cell_nodes: np.ndarray, n_nodes: int,
+                            k_pad: int = None):
+    """Transpose-gather table: node -> flat (cell, local) slots.
+
+    Returns (table (n_nodes, K) int32, K).  Pad entries point one past the
+    last flat slot; callers append a zero row to the flattened per-cell
+    values before gathering.
+    """
+    flat_nodes = np.asarray(cell_nodes).ravel()
+    n_flat = len(flat_nodes)
+    order = np.argsort(flat_nodes, kind="stable")
+    counts = np.bincount(flat_nodes, minlength=n_nodes)
+    K = int(counts.max()) if len(counts) else 1
+    if k_pad is not None:
+        K = max(K, k_pad)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    table = np.full((n_nodes, K), n_flat, dtype=np.int32)
+    within = np.arange(n_flat) - np.repeat(starts, counts)
+    table[flat_nodes[order], within] = order.astype(np.int32)
+    return table, K
+
+
+def _gather_scatter(values_flat, table):
+    """Accumulate flattened per-cell values (n_flat, ...) into nodes."""
+    pad_shape = (1,) + values_flat.shape[1:]
+    padded = jnp.concatenate(
+        [values_flat, jnp.zeros(pad_shape, dtype=values_flat.dtype)], axis=0)
+    return padded[table].sum(axis=1)
 
 
 class ShardedCellOperator:
-    """Sharded residual / matvec kernels for a Taylor-Hood space.
-
-    Builds jitted, ``shard_map``-ped versions of the hot operators:
-
-    * ``stokes_matvec(x)``     -- matrix-free monolithic Stokes/Oseen apply
-    * ``pressure_stiffness(p)``-- P1 Laplacian apply (IPCS projection)
-    * ``velocity_mass(u)``     -- P2 vector mass apply (IPCS correction)
-
-    Dof vectors are replicated; per-cell data is sharded on ``axis``.
-    """
+    """Sharded matrix-free operators for a Taylor-Hood space."""
 
     def __init__(self, space: TaylorHoodSpace, mesh: Mesh, axis="shard"):
         self.space = space
         self.mesh = mesh
         self.axis = axis
-        n_dev = mesh.devices.size
+        self.n_dev = int(mesh.devices.size)
         dt = config.default_dtype()
+        self.dtype = dt
+        dim = space.dim
+        self.dim = dim
 
         nc = space.mesh.n_cells
-        n_pad = (-nc) % n_dev
+        n_pad = (-nc) % self.n_dev
         self.n_cells_padded = nc + n_pad
+        chunk = self.n_cells_padded // self.n_dev
+        self.chunk = chunk
 
+        # geometry, padded with zero-weight cells
         W = np.asarray(space.integration_weights(), dtype=dt)
+        Jinv = np.asarray(space.Jinv, dtype=dt)
+        cu = np.asarray(space.cell_unodes)
+        cp_ = np.asarray(space.cell_pnodes)
         if n_pad:
-            # padded cells carry zero quadrature weight: no contribution
-            W = np.concatenate([W, np.zeros((n_pad, W.shape[1]), dtype=dt)])
+            W = np.concatenate([W, np.zeros((n_pad, W.shape[1]), W.dtype)])
+            Jinv = np.concatenate([Jinv, np.repeat(Jinv[:1], n_pad, 0)])
+            cu = np.concatenate([cu, np.repeat(cu[:1], n_pad, 0)])
+            cp_ = np.concatenate([cp_, np.repeat(cp_[:1], n_pad, 0)])
+
         self.W = jnp.asarray(W)
-        self.Jinv = _pad_cells(jnp.asarray(space.Jinv, dtype=dt), n_pad)
-        self.cell_unodes = _pad_cells(jnp.asarray(space.cell_unodes), n_pad)
-        self.cell_pnodes = _pad_cells(jnp.asarray(space.cell_pnodes), n_pad)
+        self.Jinv = jnp.asarray(Jinv)
+        self.cell_unodes = jnp.asarray(cu)
+        self.cell_pnodes = jnp.asarray(cp_)
 
         self.N2 = jnp.asarray(space.N2, dtype=dt)
         self.G2 = jnp.asarray(space.G2, dtype=dt)
         self.N1 = jnp.asarray(space.N1, dtype=dt)
 
+        # --- precomputed element matrices (host-side, once) ----------------
+        g2 = np.einsum("qia,cae->cqie", np.asarray(space.G2), Jinv)
+        g1 = np.einsum("qja,cae->cqje", np.asarray(space.G1), Jinv)
+        N2h = np.asarray(space.N2)
+        N1h = np.asarray(space.N1)
+        self.M_c = jnp.asarray(
+            np.einsum("cq,qi,qj->cij", W, N2h, N2h), dtype=dt)
+        self.K_c = jnp.asarray(
+            np.einsum("cq,cqie,cqje->cij", W, g2, g2), dtype=dt)
+        # G_c[i,d,j] = -int N1_j dN2_i/dx_d  (pressure-gradient coupling)
+        self.G_c = jnp.asarray(
+            -np.einsum("cq,qj,cqid->cidj", W, N1h, g2), dtype=dt)
+        self.KP_c = jnp.asarray(
+            np.einsum("cq,cqje,cqke->cjk", W, g1, g1), dtype=dt)
+
+        # --- per-shard transpose-gather tables ------------------------------
+        nn2 = cu.shape[1]
+        nn1 = cp_.shape[1]
+        u_tabs, p_tabs = [], []
+        Ku = Kp = 0
+        for d in range(self.n_dev):
+            sl = slice(d * chunk, (d + 1) * chunk)
+            tab, k = build_scatter_transpose(cu[sl], space.n_unodes)
+            u_tabs.append(tab)
+            Ku = max(Ku, k)
+            tab, k = build_scatter_transpose(cp_[sl], space.n_pnodes)
+            p_tabs.append(tab)
+            Kp = max(Kp, k)
+        # re-pad all shards to the common K
+        u_tabs = [build_scatter_transpose(cu[d * chunk:(d + 1) * chunk],
+                                          space.n_unodes, Ku)[0]
+                  for d in range(self.n_dev)]
+        p_tabs = [build_scatter_transpose(cp_[d * chunk:(d + 1) * chunk],
+                                          space.n_pnodes, Kp)[0]
+                  for d in range(self.n_dev)]
+        self.u_table = jnp.asarray(np.stack(u_tabs))   # (n_dev, n_unodes, Ku)
+        self.p_table = jnp.asarray(np.stack(p_tabs))   # (n_dev, n_pnodes, Kp)
+
         self._shard_spec = P(axis)
         self._repl = P()
 
-    def _shard(self, fn, n_out=1):
-        """shard_map wrapper: cell arrays sharded, vectors replicated."""
-        in_specs = (self._shard_spec,) * 4 + (self._repl,)
-        out_specs = self._repl if n_out == 1 else (self._repl,) * n_out
-        return shard_map(fn, mesh=self.mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_rep=False)
+    def _scatter_u(self, r_c, table):
+        """(chunk, nn2, d) cell contributions -> (n_unodes, d)."""
+        flat = r_c.reshape(-1, self.dim)
+        return _gather_scatter(flat, table[0])
 
-    # -- monolithic Stokes-like matvec (diffusion + pressure coupling) ------
-    def make_stokes_matvec(self, visc, cp=1.0, accel0=0.0):
-        """Matrix-free apply of the (linear) Stokes/Helmholtz saddle-point
-        operator: viscous + pressure-gradient/divergence + optional mass
-        shift (accel0) -- the backbone of block-preconditioned Krylov."""
-        space = self.space
-        dim = space.dim
-        axis = self.axis
+    def _scatter_p(self, r_c, table):
+        flat = r_c.reshape(-1)
+        return _gather_scatter(flat, table[0])
 
-        def local(cell_unodes, cell_pnodes, Jinv, W, x):
-            u = x[:space.n_velocity_dofs].reshape(-1, dim)
-            p = x[space.n_velocity_dofs:]
-            u_c = u[cell_unodes]
-            p_c = p[cell_pnodes]
-            g2 = jnp.einsum("qia,cae->cqie", self.G2, Jinv)
-            u_q = jnp.einsum("qi,cid->cqd", self.N2, u_c)
-            grad_u = jnp.einsum("cid,cqie->cqde", u_c, g2)
-            p_q = jnp.einsum("qj,cj->cq", self.N1, p_c)
-            div_u = jnp.trace(grad_u, axis1=2, axis2=3)
-
-            stress = visc * grad_u \
-                - cp * p_q[:, :, None, None] * jnp.eye(dim)
-            mom = accel0 * u_q
-            r_u_c = (jnp.einsum("cq,cqd,qi->cid", W, mom, self.N2)
-                     + jnp.einsum("cq,cqde,cqie->cid", W, stress, g2))
-            r_p_c = -cp * jnp.einsum("cq,cq,qj->cj", W, div_u, self.N1)
-
-            r_u = kernels.scatter_unodes(r_u_c, cell_unodes, space.n_unodes)
-            r_p = kernels.scatter_pnodes(r_p_c, cell_pnodes, space.n_pnodes)
-            r = jnp.concatenate([r_u.reshape(-1), r_p])
-            return jax.lax.psum(r, axis)
-
-        sharded = self._shard(local)
-
-        def matvec(x):
-            return sharded(self.cell_unodes, self.cell_pnodes, self.Jinv,
-                           self.W, x)
-
-        return jax.jit(matvec)
-
-    # -- P1 pressure Laplacian ----------------------------------------------
-    def make_pressure_stiffness(self):
-        space = self.space
-        axis = self.axis
-        G1 = jnp.asarray(space.G1, dtype=self.W.dtype)
-
-        def local(cell_unodes, cell_pnodes, Jinv, W, p):
-            g1 = jnp.einsum("qja,cae->cqje", G1, Jinv)
-            grad_p = jnp.einsum("cj,cqje->cqe", p[cell_pnodes], g1)
-            r_c = jnp.einsum("cq,cqe,cqje->cj", W, grad_p, g1)
-            r = kernels.scatter_pnodes(r_c, cell_pnodes, space.n_pnodes)
-            return jax.lax.psum(r, axis)
-
-        sharded = self._shard(local)
-
-        def matvec(p):
-            return sharded(self.cell_unodes, self.cell_pnodes, self.Jinv,
-                           self.W, p)
-
-        return jax.jit(matvec)
-
-    # -- P2 vector mass ------------------------------------------------------
+    # -- operator factories -------------------------------------------------
     def make_velocity_mass(self):
-        space = self.space
-        axis = self.axis
-        dim = space.dim
+        """u -> M u (P2 vector mass), flat in/out."""
+        space, axis, dim = self.space, self.axis, self.dim
 
-        def local(cell_unodes, cell_pnodes, Jinv, W, uflat):
-            u = uflat.reshape(-1, dim)
-            u_q = jnp.einsum("qi,cid->cqd", self.N2, u[cell_unodes])
-            r_c = jnp.einsum("cq,cqd,qi->cid", W, u_q, self.N2)
-            r = kernels.scatter_unodes(r_c, cell_unodes, space.n_unodes)
+        def local(M_c, cu, table, uflat):
+            u_c = uflat.reshape(-1, dim)[cu]
+            r_c = jnp.einsum("cij,cjd->cid", M_c, u_c)
+            r = self._scatter_u(r_c, table)
             return jax.lax.psum(r.reshape(-1), axis)
 
-        sharded = self._shard(local)
+        sharded = shard_map(local, mesh=self.mesh,
+                            in_specs=(P(axis), P(axis), P(axis), P()),
+                            out_specs=P(), check_rep=False)
+        return jax.jit(lambda u: sharded(self.M_c, self.cell_unodes,
+                                         self.u_table, u))
 
-        def matvec(uflat):
-            return sharded(self.cell_unodes, self.cell_pnodes, self.Jinv,
-                           self.W, uflat)
+    def make_velocity_helmholtz(self, visc):
+        """(u, accel0) -> (accel0 M + visc K) u with traced accel0."""
+        space, axis, dim = self.space, self.axis, self.dim
 
-        return jax.jit(matvec)
+        def local(M_c, K_c, cu, table, uflat, accel0):
+            u_c = uflat.reshape(-1, dim)[cu]
+            A_c = accel0 * M_c + visc * K_c
+            r_c = jnp.einsum("cij,cjd->cid", A_c, u_c)
+            r = self._scatter_u(r_c, table)
+            return jax.lax.psum(r.reshape(-1), axis)
 
-    # -- explicit convection RHS --------------------------------------------
-    def make_convection_rhs(self, cc):
-        """b_i = integral(cc * (u . grad)u . N_i): explicit convection
-        assembly for semi-implicit (IMEX) stepping (the scheme of the
-        reference's prototype scripts/test_ipcs.py:102-133)."""
-        space = self.space
+        sharded = shard_map(local, mesh=self.mesh,
+                            in_specs=(P(axis),) * 4 + (P(), P()),
+                            out_specs=P(), check_rep=False)
+        return jax.jit(lambda u, accel0: sharded(
+            self.M_c, self.K_c, self.cell_unodes, self.u_table, u, accel0))
+
+    def make_gradient(self):
+        """p -> G p: velocity-space image of -int(p div w)."""
+        axis, dim = self.axis, self.dim
+
+        def local(G_c, cp_, table, p):
+            p_c = p[cp_]
+            r_c = jnp.einsum("cidj,cj->cid", G_c, p_c)
+            r = self._scatter_u(r_c, table)
+            return jax.lax.psum(r.reshape(-1), axis)
+
+        sharded = shard_map(local, mesh=self.mesh,
+                            in_specs=(P(axis), P(axis), P(axis), P()),
+                            out_specs=P(), check_rep=False)
+        return jax.jit(lambda p: sharded(self.G_c, self.cell_pnodes,
+                                         self.u_table, p))
+
+    def make_divergence(self):
+        """u -> D u with D u = -int(div u) q tested against P1 (note the
+        sign: D = G^T, the transpose of the gradient coupling)."""
+        axis, dim = self.axis, self.dim
+
+        def local(G_c, cu, table, uflat):
+            u_c = uflat.reshape(-1, dim)[cu]
+            r_c = jnp.einsum("cidj,cid->cj", G_c, u_c)
+            r = self._scatter_p(r_c, table)
+            return jax.lax.psum(r, axis)
+
+        sharded = shard_map(local, mesh=self.mesh,
+                            in_specs=(P(axis), P(axis), P(axis), P()),
+                            out_specs=P(), check_rep=False)
+        return jax.jit(lambda u: sharded(self.G_c, self.cell_unodes,
+                                         self.p_table, u))
+
+    def make_pressure_stiffness(self):
+        """p -> L p (P1 Laplacian)."""
         axis = self.axis
-        dim = space.dim
 
-        def local(cell_unodes, cell_pnodes, Jinv, W, uflat):
-            u = uflat.reshape(-1, dim)
-            u_c = u[cell_unodes]
-            g2 = jnp.einsum("qia,cae->cqie", self.G2, Jinv)
-            u_q = jnp.einsum("qi,cid->cqd", self.N2, u_c)
+        def local(KP_c, cp_, table, p):
+            r_c = jnp.einsum("cjk,ck->cj", KP_c, p[cp_])
+            r = self._scatter_p(r_c, table)
+            return jax.lax.psum(r, axis)
+
+        sharded = shard_map(local, mesh=self.mesh,
+                            in_specs=(P(axis), P(axis), P(axis), P()),
+                            out_specs=P(), check_rep=False)
+        return jax.jit(lambda p: sharded(self.KP_c, self.cell_pnodes,
+                                         self.p_table, p))
+
+    def make_convection_rhs(self, cc):
+        """u -> b with b_i = int(cc (u.grad)u . N_i): nonlinear assembly
+        (quadrature loop; the scheme of scripts/test_ipcs.py:102-133)."""
+        axis, dim = self.axis, self.dim
+        N2, G2 = self.N2, self.G2
+
+        def local(cu, Jinv, W, table, uflat):
+            u_c = uflat.reshape(-1, dim)[cu]
+            g2 = jnp.einsum("qia,cae->cqie", G2, Jinv)
+            u_q = jnp.einsum("qi,cid->cqd", N2, u_c)
             grad_u = jnp.einsum("cid,cqie->cqde", u_c, g2)
             conv = cc * jnp.einsum("cqde,cqe->cqd", grad_u, u_q)
-            r_c = jnp.einsum("cq,cqd,qi->cid", W, conv, self.N2)
-            r = kernels.scatter_unodes(r_c, cell_unodes, space.n_unodes)
+            r_c = jnp.einsum("cq,cqd,qi->cid", W, conv, N2)
+            r = self._scatter_u(r_c, table)
             return jax.lax.psum(r.reshape(-1), axis)
 
-        sharded = self._shard(local)
+        sharded = shard_map(local, mesh=self.mesh,
+                            in_specs=(P(axis),) * 4 + (P(),),
+                            out_specs=P(), check_rep=False)
+        return jax.jit(lambda u: sharded(self.cell_unodes, self.Jinv,
+                                         self.W, self.u_table, u))
 
-        def rhs(uflat):
-            return sharded(self.cell_unodes, self.cell_pnodes, self.Jinv,
-                           self.W, uflat)
+    # -- composite (kept for API compatibility) ------------------------------
+    def make_stokes_matvec(self, visc, cp=1.0, accel0=0.0):
+        """x = [u, p] -> monolithic Stokes/Helmholtz apply."""
+        n_u = self.space.n_velocity_dofs
+        helm = self.make_velocity_helmholtz(visc)
+        grad = self.make_gradient()
+        div = self.make_divergence()
+        a0 = accel0
+        cp_coef = cp
 
-        return jax.jit(rhs)
+        @jax.jit
+        def matvec(x):
+            u, p = x[:n_u], x[n_u:]
+            r_u = helm(u, a0) + cp_coef * grad(p)
+            r_p = cp_coef * div(u)
+            return jnp.concatenate([r_u, r_p])
+
+        return matvec

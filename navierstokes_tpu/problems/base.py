@@ -299,6 +299,12 @@ class InstationaryProblem(ProblemBase):
         assert issubclass(InstationarySolverClass, InstationarySolverBase)
         self._InstationarySolverClass = InstationarySolverClass
 
+    def set_time_stepping(self, factory):
+        """Override the default BDF-2 scheme: ``factory(start, end,
+        desired_start_time_step)`` returning a DiscreteTime subclass (e.g.
+        a GeneralThetaTimeStepping or IMEXTimeStepping partial)."""
+        self._time_stepping_factory = factory
+
     def _compute_cfl_number(self, step_size):
         solver = self._get_solver()
         cfl = postprocess.cfl_number(solver.operator, self._get_velocity(),
@@ -338,9 +344,15 @@ class InstationaryProblem(ProblemBase):
             assert hasattr(self, "_periodic_bcs")
         assert hasattr(self, "_initial_conditions")
 
-        self._time_stepping = BDFTimeStepping(
-            self._start_time, self._end_time,
-            desired_start_time_step=self._desired_start_time_step)
+        factory = getattr(self, "_time_stepping_factory", None)
+        if factory is not None:
+            self._time_stepping = factory(
+                self._start_time, self._end_time,
+                self._desired_start_time_step)
+        else:
+            self._time_stepping = BDFTimeStepping(
+                self._start_time, self._end_time,
+                desired_start_time_step=self._desired_start_time_step)
 
         if not hasattr(self, "_navier_stokes_solver"):
             self._navier_stokes_solver = self._InstationarySolverClass(

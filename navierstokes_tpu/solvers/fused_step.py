@@ -3,17 +3,20 @@
 One incremental-pressure-correction step with explicitly extrapolated
 convection -- the scheme of the reference's own prototype
 (scripts/test_ipcs.py:102-171: extrapolated convection, incremental
-pressure Poisson, mass-matrix velocity correction), here compiled into a
-single XLA program: three matrix-free CG solves whose matvecs are
-element-kernel applications (optionally sharded over a device mesh).
+pressure Poisson, mass-matrix velocity correction), compiled into a single
+XLA program: three matrix-free CG solves whose matvecs are precomputed
+element-matrix applications with transpose-gather scatter (see
+parallel/sharded.py), optionally sharded over a device mesh.
 
-Per step, for SBDF coefficients (alpha0, alpha1, alpha2) / extrapolation
-(eta0, eta1):
+Per step, for SBDF weights (alpha0, alpha1, alpha2) / extrapolation
+(eta0, eta1) and step size k:
 
   1. Helmholtz:  (alpha0/k M + nu K) u* =
                    -(alpha1/k) M u_n - (alpha2/k) M u_{n-1}
                    - C(eta0 u_n + eta1 u_{n-1}) - G p_n
-  2. Poisson:    L phi = -(alpha0/k) D u*          (mean-free)
+  2. Poisson:    L phi = (alpha0/k) D u*          (mean-free;
+                 D u = -int(div u) q, so the right side is
+                 -(alpha0/k)(div u*, q) in classical notation)
   3. Correction: M u_{n+1} = M u* - (k/alpha0) G phi,  p_{n+1} = p_n + phi
 
 This is the benchmark path (periodic problems: no Dirichlet masking in the
@@ -21,8 +24,6 @@ inner loops; the mean pressure mode is projected out inside CG).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -58,31 +59,17 @@ def _cg(matvec, b, x0, iters, project=None):
 def build_projection_step(space, ops, *, visc, dt, cg_iters=(30, 60, 15)):
     """Build ``step(u, u_old, p, alpha, eta) -> (u_new, p_new)``.
 
-    ``ops``: a ShardedCellOperator (or compatible) providing the matvec
-    factories.  ``alpha = (a0, a1, a2)`` are the BDF weights (already
-    divided appropriately at call time as traced scalars), ``eta`` the
-    convection extrapolation weights.
+    ``ops``: a ShardedCellOperator providing the matvec factories.
+    ``alpha = (a0, a1, a2)`` are the BDF weights, ``eta`` the convection
+    extrapolation weights -- both traced, so variable steps never
+    recompile.
     """
-    n_u = space.n_velocity_dofs
-    n_p = space.n_pressure_dofs
-
     mass_u = ops.make_velocity_mass()
+    helm = ops.make_velocity_helmholtz(visc)
+    grad = ops.make_gradient()
+    div = ops.make_divergence()
     stiff_p = ops.make_pressure_stiffness()
     conv = ops.make_convection_rhs(1.0)
-    # helmholtz/gradient via the monolithic apply split into blocks
-    stokes_nomass = ops.make_stokes_matvec(visc, cp=1.0, accel0=0.0)
-
-    def gradient(p):
-        x = jnp.concatenate([jnp.zeros(n_u, dtype=p.dtype), p])
-        return stokes_nomass(x)[:n_u]
-
-    def stiffness_u(u):
-        x = jnp.concatenate([u, jnp.zeros(n_p, dtype=u.dtype)])
-        return stokes_nomass(x)[:n_u]
-
-    def divergence(u):
-        x = jnp.concatenate([u, jnp.zeros(n_p, dtype=u.dtype)])
-        return -stokes_nomass(x)[n_u:]
 
     def mean_free(p):
         return p - jnp.mean(p)
@@ -95,20 +82,16 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(30, 60, 15)):
         # (1) velocity Helmholtz solve
         u_ext = eta[0] * u + eta[1] * u_old
         b = (-(a1 / k) * mass_u(u) - (a2 / k) * mass_u(u_old)
-             - conv(u_ext) - gradient(p))
-
-        def helmholtz(v):
-            return (a0 / k) * mass_u(v) + stiffness_u(v)
-
-        u_star = _cg(helmholtz, b, u, cg_iters[0])
+             - conv(u_ext) - grad(p))
+        u_star = _cg(lambda v: helm(v, a0 / k), b, u, cg_iters[0])
 
         # (2) incremental pressure Poisson (mean-free)
-        rhs = mean_free(-(a0 / k) * divergence(u_star))
+        rhs = mean_free((a0 / k) * div(u_star))
         phi = _cg(stiff_p, rhs, jnp.zeros_like(p), cg_iters[1],
                   project=mean_free)
 
         # (3) velocity correction
-        b_corr = mass_u(u_star) - (k / a0) * gradient(phi)
+        b_corr = mass_u(u_star) - (k / a0) * grad(phi)
         u_new = _cg(mass_u, b_corr, u_star, cg_iters[2])
 
         return u_new, mean_free(p + phi)

@@ -1,0 +1,109 @@
+"""Theta-scheme and IMEX solvers on the Taylor-Green vortex.
+
+These schemes exist in the reference only as coefficient generators
+(never wired to a solver); here they drive full solves and are verified
+against the analytic decay.
+"""
+
+import functools
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from navierstokes_tpu.fem.bcs import PressureBCType
+from navierstokes_tpu.fem.spaces import axis_periodic
+from navierstokes_tpu.mesh import HyperCubeBoundaryMarkers, hyper_cube
+from navierstokes_tpu.solvers import IMEXSolver, ThetaSolver
+from navierstokes_tpu.timestepping import (GeneralThetaTimeStepping,
+                                           IMEXTimeStepping, IMEXType,
+                                           ThetaTimeSteppingType)
+
+M = HyperCubeBoundaryMarkers
+GAMMA = 2.0 * np.pi
+RE = 100.0
+
+
+def tg_velocity(x, t):
+    d = np.exp(-2 * GAMMA ** 2 * t / RE)
+    return d * np.stack([np.cos(GAMMA * x[:, 0]) * np.sin(GAMMA * x[:, 1]),
+                         -np.sin(GAMMA * x[:, 0]) * np.cos(GAMMA * x[:, 1])],
+                        axis=1)
+
+
+def tg_pressure(x, t):
+    d = np.exp(-4 * GAMMA ** 2 * t / RE)
+    return -0.25 * d * (np.cos(2 * GAMMA * x[:, 0])
+                        + np.cos(2 * GAMMA * x[:, 1]))
+
+
+def run_taylor_green(SolverClass, time_stepping, n_points=16, n_steps=5,
+                     dt=0.05):
+    mesh, markers = hyper_cube(2, n_points)
+    solver = SolverClass(mesh, markers, "standard", time_stepping)
+    solver.set_periodic_boundary_conditions(
+        [axis_periodic(0), axis_periodic(1)],
+        (M.left.value, M.right.value, M.top.value, M.bottom.value))
+    solver.set_boundary_conditions(((PressureBCType.mean_value, None, 0.0),))
+    solver.set_equation_coefficients(
+        {"convective_term": 1.0, "viscous_term": 1.0 / RE,
+         "pressure_term": 1.0, "coriolis_term": None, "euler_term": None,
+         "body_force_term": None})
+    solver.set_initial_conditions({
+        "velocity": lambda x: tg_velocity(x, 0.0),
+        "pressure": lambda x: tg_pressure(x, 0.0)})
+    ts = time_stepping
+    for _ in range(n_steps):
+        ts.update_coefficients()
+        solver.solve()
+        ts.advance_time()
+        solver.advance_time()
+    u, p = solver.space.split(solver.solution)
+    err = solver.operator.l2_error_velocity(
+        u, lambda x: tg_velocity(x, ts.current_time))
+    return solver, err
+
+
+def test_theta_crank_nicolson():
+    ts = GeneralThetaTimeStepping(0.0, 1.0,
+                                  ThetaTimeSteppingType.CrankNicolson,
+                                  desired_start_time_step=0.05)
+    _, err = run_taylor_green(ThetaSolver, ts)
+    assert err < 3e-3, err
+
+
+def test_theta_backward_euler_vs_crank_nicolson():
+    ts = GeneralThetaTimeStepping(0.0, 1.0,
+                                  ThetaTimeSteppingType.BackwardEuler,
+                                  desired_start_time_step=0.2)
+    _, err_be = run_taylor_green(ThetaSolver, ts, n_steps=3, dt=0.2)
+    ts2 = GeneralThetaTimeStepping(0.0, 1.0,
+                                   ThetaTimeSteppingType.CrankNicolson,
+                                   desired_start_time_step=0.2)
+    _, err_cn = run_taylor_green(ThetaSolver, ts2, n_steps=3, dt=0.2)
+    # at a coarse dt the first-order scheme is far less accurate than CN
+    assert err_be > 3.0 * err_cn, (err_be, err_cn)
+    assert err_be < 0.1
+
+
+def test_theta_fractional_step():
+    ts = GeneralThetaTimeStepping(0.0, 1.0,
+                                  ThetaTimeSteppingType.FractionalStep01,
+                                  desired_start_time_step=0.1)
+    _, err = run_taylor_green(ThetaSolver, ts, n_steps=3, dt=0.1)
+    # strongly A-stable second-order scheme
+    assert err < 3e-3, err
+
+
+def test_imex_sbdf2():
+    ts = IMEXTimeStepping(0.0, 1.0, IMEXType.SBDF2,
+                          desired_start_time_step=0.02)
+    _, err = run_taylor_green(IMEXSolver, ts, n_steps=10, dt=0.02)
+    assert err < 3e-3, err
+
+
+def test_imex_cnab():
+    ts = IMEXTimeStepping(0.0, 1.0, IMEXType.CNAB,
+                          desired_start_time_step=0.02)
+    _, err = run_taylor_green(IMEXSolver, ts, n_steps=10, dt=0.02)
+    assert err < 3e-3, err
