@@ -27,6 +27,7 @@ def save_checkpoint(path: str, solver, time_stepping) -> None:
             data[f"velocity_{i}"] = np.asarray(v)
         data["pressure"] = np.asarray(solver._pressure)
         data["old_pressure"] = np.asarray(solver._old_pressure)
+        data["older_pressure"] = np.asarray(solver._older_pressure)
         data["intermediate_velocity"] = np.asarray(
             solver._intermediate_velocity)
     np.savez(path, **data)
@@ -43,6 +44,8 @@ def load_checkpoint(path: str, solver, time_stepping) -> None:
                               for i in range(len(solver._velocities))]
         solver._pressure = jnp.asarray(data["pressure"])
         solver._old_pressure = jnp.asarray(data["old_pressure"])
+        if "older_pressure" in data:
+            solver._older_pressure = jnp.asarray(data["older_pressure"])
         solver._intermediate_velocity = jnp.asarray(
             data["intermediate_velocity"])
     ts = time_stepping

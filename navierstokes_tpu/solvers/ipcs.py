@@ -16,6 +16,17 @@ three sub-solves per step on the collapsed subspaces,
 This is the TPU-performance path: steps 2 and 3 are SPD solves running as
 matrix-free CG at SpMV speed; step 1 reuses the sparse velocity-block
 Newton.
+
+``scheme`` selects the pressure-correction variant, covering the
+reference's prototype scripts as first-class options:
+
+* ``"incremental"`` (default) -- the reference IPCSSolver above;
+* ``"chorin"``      -- non-incremental: no lagged pressure in the
+  diffusion step, pressure recomputed from scratch
+  (scripts/test_chorin.py:109-128);
+* ``"phi"``         -- increment form with pressure extrapolation
+  eta = [2, -1] in the diffusion step and a separate increment field,
+  p_{n+1} = p_n + phi (scripts/test_ipcs_phi.py:102-139).
 """
 
 from __future__ import annotations
@@ -39,11 +50,14 @@ class IPCSSolver(InstationarySolverBase):
 
     def __init__(self, mesh, boundary_markers, form_convective_term,
                  time_stepping, tol=None, max_iter=50,
-                 form_viscous_term="reduced", linear_solver=None):
+                 form_viscous_term="reduced", linear_solver=None,
+                 scheme="incremental"):
         assert isinstance(time_stepping, BDFTimeStepping)
+        assert scheme in ("incremental", "chorin", "phi")
         super().__init__(mesh, boundary_markers, form_convective_term,
                          time_stepping, tol, max_iter, form_viscous_term,
                          linear_solver)
+        self._scheme = scheme
 
     # -- setup ---------------------------------------------------------------
     def _setup_function_spaces(self):
@@ -57,6 +71,7 @@ class IPCSSolver(InstationarySolverBase):
             (space.n_unodes, space.dim), dtype=dt)
         self._pressure = jnp.zeros(space.n_pnodes, dtype=dt)
         self._old_pressure = jnp.zeros(space.n_pnodes, dtype=dt)
+        self._older_pressure = jnp.zeros(space.n_pnodes, dtype=dt)
 
     def _setup_scheme(self):
         space = self._space
@@ -99,12 +114,14 @@ class IPCSSolver(InstationarySolverBase):
         self._intermediate_velocity = u0
         self._pressure = p0
         self._old_pressure = p0
+        self._older_pressure = p0
 
     # -- stepping ------------------------------------------------------------
     def advance_time(self):
         super().advance_time()
         for i in range(len(self._velocities) - 1, 0, -1):
             self._velocities[i] = self._velocities[i - 1]
+        self._older_pressure = self._old_pressure
         self._old_pressure = self._pressure
 
     def _vel_bc_values(self, t):
@@ -130,6 +147,15 @@ class IPCSSolver(InstationarySolverBase):
             history = term if history is None else history + term
         source_q = self._momentum_source(t=next_time, extra_quad=history)
 
+        # pressure entering the diffusion step, per variant
+        if self._scheme == "chorin":
+            p_diffusion = jnp.zeros_like(self._old_pressure)
+        elif self._scheme == "phi":
+            # eta = [2, -1] extrapolation (scripts/test_ipcs_phi.py:104-106)
+            p_diffusion = 2.0 * self._old_pressure - self._older_pressure
+        else:
+            p_diffusion = self._old_pressure
+
         # (1) diffusion step: Newton for the intermediate velocity
         bc_values = self._vel_bc_values(next_time)
         ustar = self._intermediate_velocity.reshape(-1)
@@ -137,7 +163,7 @@ class IPCSSolver(InstationarySolverBase):
 
         def res_norm(uv):
             return float(jnp.linalg.norm(
-                vop.residual(uv, bc_values, scalars, self._old_pressure,
+                vop.residual(uv, bc_values, scalars, p_diffusion,
                              source_q)))
 
         res = res_norm(ustar)
@@ -145,12 +171,11 @@ class IPCSSolver(InstationarySolverBase):
         for _ in range(self._maxiter):
             if res <= max(self._tol, 1.0e1 * self._tol * res0):
                 break
-            r = vop.residual(ustar, bc_values, scalars, self._old_pressure,
+            r = vop.residual(ustar, bc_values, scalars, p_diffusion,
                              source_q)
 
             def provider(kind):
-                J = vop.jacobian_csr(ustar, scalars, self._old_pressure,
-                                     source_q)
+                J = vop.jacobian_csr(ustar, scalars, p_diffusion, source_q)
                 return J.todense() if kind == "dense" else J
 
             dx = solve_linear_system(provider, -r, vop.n_dofs,
@@ -164,24 +189,33 @@ class IPCSSolver(InstationarySolverBase):
 
         # (2) pressure projection (Poisson, SPD, masked CG)
         pop = self._poisson
-        grad_p_old = self._operator.grad_p_at_quad(self._old_pressure)
         div_ustar = jnp.trace(self._operator.grad_u_at_quad(
             self._intermediate_velocity), axis1=2, axis2=3)
-        rhs = (pop.rhs_grad_dot_gradq(grad_p_old)
-               - (alpha[0] / k) * pop.rhs_scalar(div_ustar))
+        rhs = -(alpha[0] / k) * pop.rhs_scalar(div_ustar)
         p_bc_full = jnp.zeros(space.n_pnodes, dtype=config.default_dtype())
-        if not self._pressure_pinned:
+        if self._scheme == "incremental":
+            grad_p_old = self._operator.grad_p_at_quad(self._old_pressure)
+            rhs = rhs + pop.rhs_grad_dot_gradq(grad_p_old)
+        if not self._pressure_pinned and self._scheme != "phi":
+            # "phi" solves for the increment: homogeneous data at the
+            # pressure Dirichlet nodes
             vals = self._pres_dirichlet.values(next_time)
             p_bc_full = p_bc_full.at[jnp.asarray(self._p_bc_ranks)].set(
                 jnp.asarray(vals))
-        p_new, _ = masked_spd_solve(pop.stiffness_matvec, rhs,
-                                    self._p_bc_mask, p_bc_full,
-                                    tol=1e-14)
-        self._pressure = p_new
+        sol, _ = masked_spd_solve(pop.stiffness_matvec, rhs,
+                                  self._p_bc_mask, p_bc_full, tol=1e-14)
+        if self._scheme == "incremental":
+            self._pressure = sol
+            grad_correction = self._pressure - self._old_pressure
+        elif self._scheme == "chorin":
+            self._pressure = sol
+            grad_correction = self._pressure
+        else:  # phi increment
+            self._pressure = self._old_pressure + sol
+            grad_correction = sol
 
         # (3) velocity correction (mass solve, SPD, masked CG)
-        grad_dp = self._operator.grad_p_at_quad(self._pressure
-                                                - self._old_pressure)
+        grad_dp = self._operator.grad_p_at_quad(grad_correction)
         u_star_q = self._operator.u_at_quad(self._intermediate_velocity)
         rhs_u = vop.mass_rhs(u_star_q - (k / alpha[0]) * grad_dp)
         v_bc_full = jnp.zeros(space.n_unodes * space.dim,
