@@ -115,20 +115,24 @@ class MixedOperator:
             self._jit_cache[key] = builder()
         return self._jit_cache[key]
 
-    def residual(self, x, bc_values, scalars, source_q=0.0, extra_ru=None):
+    def residual(self, x, bc_values, scalars, source_q=0.0, extra_ru=None,
+                 mask_bcs=True):
         """Assembled residual with Dirichlet masking r[bc] = x[bc] - g.
 
         ``extra_ru``: optional (n_unodes, d) pre-scattered velocity residual
-        contribution (boundary tractions).
+        contribution (boundary tractions).  ``mask_bcs=False`` returns the
+        raw assembled residual -- its values at constrained velocity nodes
+        are the nodal *reaction forces* (used for superconvergent drag/lift
+        evaluation).
         """
         fn = self._get_jit(("residual", extra_ru is not None,
-                            np.shape(source_q) == ()),
-                           self._build_residual)
+                            np.shape(source_q) == (), bool(mask_bcs)),
+                           lambda: self._build_residual(bool(mask_bcs)))
         if extra_ru is None:
             return fn(x, bc_values, scalars, source_q)
         return fn(x, bc_values, scalars, source_q, extra_ru)
 
-    def _build_residual(self):
+    def _build_residual(self, mask_bcs=True):
         space = self.space
 
         def impl(x, bc_values, scalars, source_q, extra_ru=None):
@@ -151,6 +155,8 @@ class MixedOperator:
             r_p = kernels.scatter_pnodes(r_p_c, self.cell_pnodes,
                                          space.n_pnodes)
             r = jnp.concatenate([r_u.reshape(-1), r_p])
+            if not mask_bcs:
+                return r
             return r.at[self._bc_dofs].set(x[self._bc_dofs] - bc_values)
 
         return jax.jit(impl)

@@ -83,3 +83,4 @@ class ImplicitBDFSolver(InstationarySolverBase):
                 f"Newton iteration did not converge: residual {res:.3e}")
 
         self._solutions[0] = x
+        self._store_residual_context(scalars, source_q, extra_ru)

@@ -128,3 +128,4 @@ class IMEXSolver(InstationarySolverBase):
             raise RuntimeError(f"IMEX linear solve residual too large: "
                                f"{res:.3e}")
         self._solutions[0] = x
+        self._store_residual_context(imp, source_q, extra_ru)

@@ -134,6 +134,7 @@ class StationarySolverBase(SolverBase):
             residual = residual_norm(x)
 
         self._solution = x
+        self._store_residual_context(scalars, source_q, extra_ru)
         assert residual <= self._tol, "Newton iteration did not converge."
 
 

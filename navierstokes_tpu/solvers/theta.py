@@ -136,4 +136,5 @@ class ThetaSolver(InstationarySolverBase):
         else:
             raise RuntimeError(
                 f"theta substep Newton did not converge: {res:.3e}")
+        self._store_residual_context(imp_scalars, source_q, extra_ru)
         return x
