@@ -101,12 +101,13 @@ class SimplexMesh:
         dim = self.dim
 
         # --- facets: unique codim-1 entities --------------------------------
+        from navierstokes_tpu import native
+
         loc = _facet_local_indices(nv)                     # (nv, dim)
         all_facets = self.cells[:, loc]                    # (nc, nv, dim)
         all_facets = all_facets.reshape(nc * nv, dim)
         sorted_facets = np.sort(all_facets, axis=1)
-        self.facets, inverse, counts = np.unique(
-            sorted_facets, axis=0, return_inverse=True, return_counts=True)
+        self.facets, inverse, counts = native.unique_rows(sorted_facets)
         inverse = inverse.reshape(nc, nv)
         self.cell_facets = inverse.astype(np.int32)        # (nc, nv)
         self.facet_counts = counts.astype(np.int32)
@@ -126,8 +127,7 @@ class SimplexMesh:
             eloc = _edge_local_indices(nv)                 # (6, 2)
             all_edges = self.cells[:, eloc].reshape(nc * len(eloc), 2)
             all_edges = np.sort(all_edges, axis=1)
-            self.edges, einv = np.unique(all_edges, axis=0,
-                                         return_inverse=True)
+            self.edges, einv, _ = native.unique_rows(all_edges)
             self.cell_edges = einv.reshape(nc, len(eloc)).astype(np.int32)
 
         # --- geometry --------------------------------------------------------

@@ -54,6 +54,9 @@ class SolverBase:
         self._space = None
         self._operator = None
 
+        from navierstokes_tpu.utils.monitor import SolverMonitor
+        self.monitor = SolverMonitor()
+
     # ------------------------------------------------------------------ API
     def set_periodic_boundary_conditions(self, periodic_pairs,
                                          constrained_boundary_ids):

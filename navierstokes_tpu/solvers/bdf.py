@@ -60,12 +60,16 @@ class ImplicitBDFSolver(InstationarySolverBase):
             return float(jnp.linalg.norm(
                 op.residual(xv, bc_values, scalars, source_q, extra_ru)))
 
+        import time as _time
+        t0 = _time.perf_counter()
         res = residual_norm(x)
         res0 = res
         tol = self._tol
         rtol = 1.0e1 * self._tol
-        for _ in range(self._maxiter):
+        iterations = 0
+        for iterations in range(1, self._maxiter + 1):
             if res <= max(tol, rtol * res0):
+                iterations -= 1
                 break
             r = op.residual(x, bc_values, scalars, source_q, extra_ru)
 
@@ -82,5 +86,10 @@ class ImplicitBDFSolver(InstationarySolverBase):
             raise RuntimeError(
                 f"Newton iteration did not converge: residual {res:.3e}")
 
+        self.monitor.record("nonlinear_solve", phase="bdf_step",
+                            step=self._time_stepping.step_number,
+                            time=next_time, iterations=iterations,
+                            initial_residual=res0, residual=res,
+                            seconds=_time.perf_counter() - t0)
         self._solutions[0] = x
         self._store_residual_context(scalars, source_q, extra_ru)

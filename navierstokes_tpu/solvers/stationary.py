@@ -115,7 +115,12 @@ class StationarySolverBase(SolverBase):
             order = math.floor(math.log10(residual))
             tol_picard = (residual / 10.0 ** order - 1.0) * 10.0 ** order
 
+        import time as _time
+        t0 = _time.perf_counter()
+        res0 = residual
+
         print("Starting Picard iteration...")
+        picard_its = 0
         for _ in range(self._maxiter_picard):
             if residual <= tol_picard:
                 break
@@ -123,8 +128,10 @@ class StationarySolverBase(SolverBase):
                                    picard=True)
             x = x + dx
             residual = residual_norm(x)
+            picard_its += 1
 
         print("Starting Newton iteration...")
+        newton_its = 0
         for _ in range(self._maxiter):
             if residual <= self._tol:
                 break
@@ -132,7 +139,14 @@ class StationarySolverBase(SolverBase):
                                    picard=False)
             x = x + dx
             residual = residual_norm(x)
+            newton_its += 1
 
+        self.monitor.record("nonlinear_solve", phase="picard+newton",
+                            iterations=picard_its + newton_its,
+                            picard_iterations=picard_its,
+                            newton_iterations=newton_its,
+                            initial_residual=res0, residual=residual,
+                            seconds=_time.perf_counter() - t0)
         self._solution = x
         self._store_residual_context(scalars, source_q, extra_ru)
         assert residual <= self._tol, "Newton iteration did not converge."

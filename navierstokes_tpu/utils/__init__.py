@@ -1,1 +1,3 @@
-"""Placeholder."""
+"""Utilities: solver monitoring/metrics."""
+
+from navierstokes_tpu.utils.monitor import SolverMonitor  # noqa: F401

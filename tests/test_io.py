@@ -90,3 +90,22 @@ def test_checkpoint_resume(tmp_path):
         solver2.advance_time()
     x_resumed = np.asarray(solver2.solution)
     assert np.abs(x_resumed - x_ref).max() < 1e-12
+
+
+def test_solver_monitor(tmp_path):
+    """Structured metrics: iteration counts + residuals per solve."""
+    solver, ts = _make_channel_solver()
+    for _ in range(2):
+        ts.update_coefficients()
+        solver.solve()
+        ts.advance_time()
+        solver.advance_time()
+    records = solver.monitor.nonlinear_solves()
+    assert len(records) == 2
+    assert all(r["iterations"] >= 1 for r in records)
+    assert all(r["residual"] <= 1e-9 for r in records)
+    summary = solver.monitor.summary()
+    assert summary["nonlinear_solves"] == 2
+    path = tmp_path / "metrics.jsonl"
+    solver.monitor.to_jsonl(str(path))
+    assert len(path.read_text().splitlines()) >= 2
