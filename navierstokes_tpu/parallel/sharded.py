@@ -297,3 +297,28 @@ class ShardedCellOperator:
             return jnp.concatenate([r_u, r_p])
 
         return matvec
+
+    # -- operator diagonals (Jacobi preconditioning) --------------------------
+    def diagonals(self):
+        """(diag_M_u, diag_K_u, diag_L_p) assembled from element matrices."""
+        n_dev = self.n_dev
+        chunk = self.chunk
+
+        def accumulate(elem_diag, cell_nodes, n_nodes):
+            out = np.zeros(n_nodes)
+            np.add.at(out, np.asarray(cell_nodes).ravel(),
+                      np.asarray(elem_diag).ravel())
+            return out
+
+        nn2 = self.cell_unodes.shape[1]
+        dM = np.einsum("cii->ci", np.asarray(self.M_c))
+        dK = np.einsum("cii->ci", np.asarray(self.K_c))
+        dL = np.einsum("cjj->cj", np.asarray(self.KP_c))
+        diag_m = accumulate(dM, self.cell_unodes, self.space.n_unodes)
+        diag_k = accumulate(dK, self.cell_unodes, self.space.n_unodes)
+        diag_l = accumulate(dL, self.cell_pnodes, self.space.n_pnodes)
+        dt = self.dtype
+        rep = np.repeat  # velocity diag per component
+        return (jnp.asarray(rep(diag_m, self.dim), dtype=dt),
+                jnp.asarray(rep(diag_k, self.dim), dtype=dt),
+                jnp.asarray(diag_l, dtype=dt))

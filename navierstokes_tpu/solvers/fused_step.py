@@ -4,19 +4,18 @@ One incremental-pressure-correction step with explicitly extrapolated
 convection -- the scheme of the reference's own prototype
 (scripts/test_ipcs.py:102-171: extrapolated convection, incremental
 pressure Poisson, mass-matrix velocity correction), compiled into a single
-XLA program: three matrix-free CG solves whose matvecs are precomputed
-element-matrix applications with transpose-gather scatter (see
-parallel/sharded.py), optionally sharded over a device mesh.
+XLA program: three Jacobi-preconditioned matrix-free CG solves whose
+matvecs are precomputed element-matrix applications with transpose-gather
+scatter (see parallel/sharded.py), optionally sharded over a device mesh.
 
-Per step, for SBDF weights (alpha0, alpha1, alpha2) / extrapolation
+Per step, for SBDF coefficients (alpha0, alpha1, alpha2) / extrapolation
 (eta0, eta1) and step size k:
 
   1. Helmholtz:  (alpha0/k M + nu K) u* =
                    -(alpha1/k) M u_n - (alpha2/k) M u_{n-1}
                    - C(eta0 u_n + eta1 u_{n-1}) - G p_n
-  2. Poisson:    L phi = (alpha0/k) D u*          (mean-free;
-                 D u = -int(div u) q, so the right side is
-                 -(alpha0/k)(div u*, q) in classical notation)
+  2. Poisson:    L phi = (alpha0/k) D u*          (mean-free; warm-started
+                 from the previous step's increment)
   3. Correction: M u_{n+1} = M u* - (k/alpha0) G phi,  p_{n+1} = p_n + phi
 
 This is the benchmark path (periodic problems: no Dirichlet masking in the
@@ -29,40 +28,46 @@ import jax
 import jax.numpy as jnp
 
 
-def _cg(matvec, b, x0, iters, project=None):
-    """Fixed-iteration CG (no early exit -> static schedule on TPU)."""
+def _pcg(matvec, b, x0, iters, inv_diag=None, project=None):
+    """Fixed-iteration preconditioned CG (static schedule on TPU)."""
+
+    def precond(r):
+        return r if inv_diag is None else inv_diag * r
 
     def body(_, state):
-        x, r, p, rs = state
+        x, r, z, p, rz = state
         Ap = matvec(p)
         denom = jnp.vdot(p, Ap)
-        # guard fixed-iteration breakdown: once converged (rs ~ 0) the
+        # guard fixed-iteration breakdown: once converged (rz ~ 0) the
         # updates freeze instead of dividing 0/0
-        alpha = jnp.where(jnp.abs(denom) > 0.0, rs / denom, 0.0)
+        alpha = jnp.where(jnp.abs(denom) > 0.0, rz / denom, 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         if project is not None:
             r = project(r)
-        rs_new = jnp.vdot(r, r)
-        beta = jnp.where(rs > 0.0, rs_new / rs, 0.0)
-        p = r + beta * p
-        return x, r, p, rs_new
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(jnp.abs(rz) > 0.0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, z, p, rz_new
 
     r0 = b - matvec(x0)
     if project is not None:
         r0 = project(r0)
-    state = (x0, r0, r0, jnp.vdot(r0, r0))
-    x, r, _, _ = jax.lax.fori_loop(0, iters, body, state)
+    z0 = precond(r0)
+    state = (x0, r0, z0, z0, jnp.vdot(r0, z0))
+    x, *_ = jax.lax.fori_loop(0, iters, body, state)
     return x
 
 
-def build_projection_step(space, ops, *, visc, dt, cg_iters=(30, 60, 15)):
-    """Build ``step(u, u_old, p, alpha, eta) -> (u_new, p_new)``.
+def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8)):
+    """Build ``step(u, u_old, p, phi, alpha, eta) -> (u_new, p_new, phi)``.
 
     ``ops``: a ShardedCellOperator providing the matvec factories.
     ``alpha = (a0, a1, a2)`` are the BDF weights, ``eta`` the convection
     extrapolation weights -- both traced, so variable steps never
-    recompile.
+    recompile.  ``phi`` is the previous pressure increment (pass zeros on
+    the first step); it warm-starts the Poisson solve.
     """
     mass_u = ops.make_velocity_mass()
     helm = ops.make_velocity_helmholtz(visc)
@@ -70,30 +75,38 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(30, 60, 15)):
     div = ops.make_divergence()
     stiff_p = ops.make_pressure_stiffness()
     conv = ops.make_convection_rhs(1.0)
+    diag_m, diag_k, diag_l = ops.diagonals()
+
+    def inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1.0)
+
+    inv_diag_l = inv(diag_l)
 
     def mean_free(p):
         return p - jnp.mean(p)
 
     @jax.jit
-    def step(u, u_old, p, alpha, eta):
+    def step(u, u_old, p, phi, alpha, eta):
         a0, a1, a2 = alpha
         k = dt
 
-        # (1) velocity Helmholtz solve
+        # (1) velocity Helmholtz solve (mass-dominated: few iterations)
         u_ext = eta[0] * u + eta[1] * u_old
         b = (-(a1 / k) * mass_u(u) - (a2 / k) * mass_u(u_old)
              - conv(u_ext) - grad(p))
-        u_star = _cg(lambda v: helm(v, a0 / k), b, u, cg_iters[0])
+        inv_diag_h = inv((a0 / k) * diag_m + visc * diag_k)
+        u_star = _pcg(lambda v: helm(v, a0 / k), b, u, cg_iters[0],
+                      inv_diag=inv_diag_h)
 
-        # (2) incremental pressure Poisson (mean-free)
+        # (2) incremental pressure Poisson (mean-free, warm-started)
         rhs = mean_free((a0 / k) * div(u_star))
-        phi = _cg(stiff_p, rhs, jnp.zeros_like(p), cg_iters[1],
-                  project=mean_free)
+        phi = _pcg(stiff_p, rhs, mean_free(phi), cg_iters[1],
+                   inv_diag=inv_diag_l, project=mean_free)
 
         # (3) velocity correction
         b_corr = mass_u(u_star) - (k / a0) * grad(phi)
-        u_new = _cg(mass_u, b_corr, u_star, cg_iters[2])
-
-        return u_new, mean_free(p + phi)
+        u_new = _pcg(mass_u, b_corr, u_star, cg_iters[2],
+                     inv_diag=inv(diag_m))
+        return u_new, mean_free(p + phi), phi
 
     return step

@@ -114,12 +114,13 @@ def test_fused_projection_step_taylor_green():
     a2 = (one(1.5), one(-2.0), one(0.5))
     e2 = (one(2.0), one(-1.0))
 
+    phi = jnp.zeros_like(p)
     u_old = u
-    u_new, p = step(u, u_old, p, a1, e1)
+    u_new, p, phi = step(u, u_old, p, phi, a1, e1)
     u_old, u = u, u_new
     n_steps = 20
     for _ in range(n_steps - 1):
-        u_new, p = step(u, u_old, p, a2, e2)
+        u_new, p, phi = step(u, u_old, p, phi, a2, e2)
         u_old, u = u, u_new
 
     t = n_steps * dt
