@@ -60,7 +60,8 @@ def _pcg(matvec, b, x0, iters, inv_diag=None, project=None):
     return x
 
 
-def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8)):
+def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
+                          vel_bc=None, pres_bc_mask=None):
     """Build ``step(u, u_old, p, phi, alpha, eta) -> (u_new, p_new, phi)``.
 
     ``ops``: a ShardedCellOperator providing the matvec factories.
@@ -68,6 +69,14 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8)):
     extrapolation weights -- both traced, so variable steps never
     recompile.  ``phi`` is the previous pressure increment (pass zeros on
     the first step); it warm-starts the Poisson solve.
+
+    Boundary conditions:
+      * ``vel_bc=None``: fully periodic velocity (no masking);
+        ``vel_bc=(mask, values)``: full-length (n_u,) boolean mask and
+        value arrays applied to both velocity solves (steady data).
+      * ``pres_bc_mask=None``: enclosed flow -- the Poisson solve runs
+        mean-free; ``pres_bc_mask``: (n_p,) boolean mask where the
+        pressure is prescribed (the increment vanishes there).
     """
     mass_u = ops.make_velocity_mass()
     helm = ops.make_velocity_helmholtz(visc)
@@ -82,8 +91,41 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8)):
 
     inv_diag_l = inv(diag_l)
 
-    def mean_free(p):
-        return p - jnp.mean(p)
+    if vel_bc is not None:
+        v_free = jnp.where(jnp.asarray(vel_bc[0]), 0.0, 1.0).astype(
+            diag_m.dtype)
+        v_vals = jnp.asarray(vel_bc[1], dtype=diag_m.dtype)
+    if pres_bc_mask is not None:
+        p_free = jnp.where(jnp.asarray(pres_bc_mask), 0.0, 1.0).astype(
+            diag_l.dtype)
+
+    def masked_u(A):
+        """SPD-preserving Dirichlet projection of a velocity operator."""
+        if vel_bc is None:
+            return A, lambda b, x0: (b, x0)
+
+        def A_masked(v):
+            return v_free * A(v_free * v) + (1.0 - v_free) * v
+
+        def fix_rhs(b, x0):
+            g = (1.0 - v_free) * v_vals
+            return (v_free * (b - A(g)) + g,
+                    v_free * x0 + g)
+
+        return A_masked, fix_rhs
+
+    if pres_bc_mask is None:
+        def project_p(r):
+            return r - jnp.mean(r)
+
+        def stiff_masked(v):
+            return stiff_p(v)
+    else:
+        def project_p(r):
+            return p_free * r
+
+        def stiff_masked(v):
+            return p_free * stiff_p(p_free * v) + (1.0 - p_free) * v
 
     @jax.jit
     def step(u, u_old, p, phi, alpha, eta):
@@ -95,18 +137,25 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8)):
         b = (-(a1 / k) * mass_u(u) - (a2 / k) * mass_u(u_old)
              - conv(u_ext) - grad(p))
         inv_diag_h = inv((a0 / k) * diag_m + visc * diag_k)
-        u_star = _pcg(lambda v: helm(v, a0 / k), b, u, cg_iters[0],
-                      inv_diag=inv_diag_h)
+        H = lambda v: helm(v, a0 / k)
+        H_m, fix = masked_u(H)
+        b, x0 = fix(b, u)
+        u_star = _pcg(H_m, b, x0, cg_iters[0], inv_diag=inv_diag_h)
 
-        # (2) incremental pressure Poisson (mean-free, warm-started)
-        rhs = mean_free((a0 / k) * div(u_star))
-        phi = _pcg(stiff_p, rhs, mean_free(phi), cg_iters[1],
-                   inv_diag=inv_diag_l, project=mean_free)
+        # (2) incremental pressure Poisson (warm-started)
+        rhs = project_p((a0 / k) * div(u_star))
+        phi_new = _pcg(stiff_masked, rhs, project_p(phi), cg_iters[1],
+                       inv_diag=inv_diag_l, project=project_p)
 
         # (3) velocity correction
-        b_corr = mass_u(u_star) - (k / a0) * grad(phi)
-        u_new = _pcg(mass_u, b_corr, u_star, cg_iters[2],
-                     inv_diag=inv(diag_m))
-        return u_new, mean_free(p + phi), phi
+        b_corr = mass_u(u_star) - (k / a0) * grad(phi_new)
+        M_m, fix = masked_u(mass_u)
+        b_corr, x0 = fix(b_corr, u_star)
+        u_new = _pcg(M_m, b_corr, x0, cg_iters[2], inv_diag=inv(diag_m))
+
+        p_new = p + phi_new
+        if pres_bc_mask is None:
+            p_new = p_new - jnp.mean(p_new)
+        return u_new, p_new, phi_new
 
     return step

@@ -129,3 +129,55 @@ def test_fused_projection_step_taylor_green():
                                lambda x: tg_velocity(x, t))
     assert err < 4e-3, err
     assert bool(jnp.all(jnp.isfinite(u)))
+
+
+def test_masked_fused_step_channel_steady():
+    """Dirichlet-masked fused step drives the channel to exact Poiseuille."""
+    from navierstokes_tpu.fem.bcs import PressureBCType, VelocityBCType
+    from navierstokes_tpu.fem.dirichlet import compile_dirichlet_bcs
+    from navierstokes_tpu.mesh import HyperRectangleBoundaryMarkers as RM
+    from navierstokes_tpu.mesh import hyper_rectangle
+
+    mesh, markers = hyper_rectangle((0.0, 0.0), (5.0, 1.0), (20, 4))
+    space = TaylorHoodSpace(mesh)
+    inlet = lambda x: np.stack([6 * x[:, 1] * (1 - x[:, 1]),
+                                np.zeros(len(x))], axis=1)
+    vbc, _ = compile_dirichlet_bcs(space, markers, [
+        (VelocityBCType.function, RM.left.value, inlet),
+        (VelocityBCType.no_slip, RM.bottom.value, None),
+        (VelocityBCType.no_slip, RM.top.value, None)], [])
+    pbc, _ = compile_dirichlet_bcs(space, markers, [], [
+        (PressureBCType.constant, RM.right.value, 0.0)])
+    n_u = space.n_velocity_dofs
+    v_mask = np.zeros(n_u, bool)
+    v_mask[np.asarray(vbc.dofs)] = True
+    v_vals = np.zeros(n_u)
+    v_vals[np.asarray(vbc.dofs)] = vbc.values()
+    p_mask = np.zeros(space.n_pnodes, bool)
+    p_mask[np.asarray(pbc.dofs) - space.pressure_offset] = True
+
+    ops = ShardedCellOperator(space, device_mesh(2))
+    visc = 0.1
+    step = build_projection_step(space, ops, visc=visc, dt=0.02,
+                                 cg_iters=(15, 60, 10),
+                                 vel_bc=(v_mask, v_vals),
+                                 pres_bc_mask=p_mask)
+    u = jnp.zeros(n_u)
+    p = jnp.zeros(space.n_pnodes)
+    phi = jnp.zeros_like(p)
+    one = lambda v: jnp.asarray(v, u.dtype)
+    a1 = (one(1.0), one(-1.0), one(0.0))
+    e1 = (one(1.0), one(0.0))
+    a2 = (one(1.5), one(-2.0), one(0.5))
+    e2 = (one(2.0), one(-1.0))
+    uo = u
+    un, p, phi = step(u, uo, p, phi, a1, e1)
+    uo, u = u, un
+    for _ in range(200):
+        un, p, phi = step(u, uo, p, phi, a2, e2)
+        uo, u = u, un
+    op = MixedOperator(space)
+    err = op.l2_error_velocity(u.reshape(-1, 2), inlet)
+    perr = op.l2_error_pressure(p, lambda x: 12 * visc * (5.0 - x[:, 0]))
+    assert err < 1e-8, err
+    assert perr < 1e-7, perr
