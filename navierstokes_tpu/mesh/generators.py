@@ -286,9 +286,13 @@ def channel_with_cylinder(resolution=1.0):
     h_far = 0.45 / res      # far-field edge length
     pts = []
 
-    # cylinder boundary + geometric boundary-layer rings
+    # cylinder boundary + geometric boundary-layer rings.  The polygonal
+    # boundary ring is generated at rad / cos(pi/n) so the chord midpoints
+    # lie on the true circle: an inscribed polygon is hydrodynamically
+    # smaller and biases drag low.
     n_c = int(round(2.0 * math.pi * rad / h_cyl))
-    growth, r_k, h_k = 1.25, rad, h_cyl
+    rad_poly = rad / math.cos(math.pi / n_c)
+    growth, r_k, h_k = 1.25, rad_poly, h_cyl
     while r_k < 2.6 * rad:
         n_k = max(16, int(round(2.0 * math.pi * r_k / h_k)))
         ang = np.linspace(0.0, 2.0 * math.pi, n_k, endpoint=False)
