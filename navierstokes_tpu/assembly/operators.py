@@ -518,3 +518,15 @@ def _velocity_image_method(self, u, scalars, source_q=0.0):
 
 
 MixedOperator.velocity_operator_image = _velocity_image_method
+
+
+def _pressure_convection_matvec(self, p, u_q):
+    """N_p(u) p = integral((u . grad p) q): pressure-space convection
+    (the PCD preconditioner's transport operator)."""
+    grad_p = jnp.einsum("cj,cqje->cqe", p[self.cell_pnodes], self._g1)
+    conv = jnp.einsum("cqe,cqe->cq", u_q, grad_p)
+    r_c = jnp.einsum("cq,cq,qj->cj", self.W, conv, self.N1)
+    return kernels.scatter_pnodes(r_c, self.cell_pnodes, self.n_dofs)
+
+
+PressurePoissonOperator.convection_matvec = _pressure_convection_matvec

@@ -81,6 +81,9 @@ class StationarySolverBase(SolverBase):
         op = self._operator
         r = op.residual(x, bc_values, scalars, source_q, extra_ru)
 
+        if self._linear_solver == "pcd":
+            return self._pcd_step(x, scalars, source_q, -r, picard)
+
         def provider(kind):
             if kind == "dense":
                 return op.jacobian_dense(x, scalars, source_q, picard=picard)
@@ -88,6 +91,25 @@ class StationarySolverBase(SolverBase):
 
         return solve_linear_system(provider, -r, self._space.n_dofs,
                                    self._linear_solver)
+
+    def _pcd_step(self, x, scalars, source_q, rhs, picard):
+        """PCD-preconditioned FGMRES solve of J dx = rhs (SURVEY hard
+        part #1: the device-iterative replacement for direct LU)."""
+        from navierstokes_tpu.linalg.block_precond import PCDPreconditioner
+        from navierstokes_tpu.linalg.fgmres import fgmres
+
+        op = self._operator
+        J = op.jacobian_csr(x, scalars, source_q, picard=picard)
+        u, _ = self._space.split(x)
+        pcd = PCDPreconditioner(
+            op, J.matvec, visc=scalars["cv"],
+            accel0=scalars.get("accel0", 0.0), u_current=u)
+        dx, res, its = fgmres(J.matvec, rhs, M_apply=pcd.apply,
+                              tol=1e-10, atol=1e-12, restart=60,
+                              maxiter=400)
+        self.monitor.record("linear_solve", method="fgmres+pcd",
+                            iterations=its, residual=float(res))
+        return dx
 
     def solve(self):
         """Hybrid Picard->Newton solve (reference policy :951-988)."""
