@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from navierstokes_tpu.solvers.stationary import solve_linear_system
+from navierstokes_tpu.solvers.stationary import solver_linear_step
 from navierstokes_tpu.solvers.transient import InstationarySolverBase
 from navierstokes_tpu.timestepping import BDFTimeStepping
 
@@ -73,13 +73,8 @@ class ImplicitBDFSolver(InstationarySolverBase):
                 break
             r = op.residual(x, bc_values, scalars, source_q, extra_ru)
 
-            def provider(kind):
-                if kind == "dense":
-                    return op.jacobian_dense(x, scalars, source_q)
-                return op.jacobian_csr(x, scalars, source_q)
-
-            dx = solve_linear_system(provider, -r, space.n_dofs,
-                                     self._linear_solver)
+            dx = solver_linear_step(self, op, space, x, scalars,
+                                    source_q, -r)
             x = x + dx
             res = residual_norm(x)
         else:

@@ -23,7 +23,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from navierstokes_tpu.solvers.stationary import solve_linear_system
+from navierstokes_tpu.solvers.stationary import solver_linear_step
 from navierstokes_tpu.solvers.transient import InstationarySolverBase
 from navierstokes_tpu.timestepping import IMEXTimeStepping
 
@@ -114,13 +114,7 @@ class IMEXSolver(InstationarySolverBase):
         # the implicit problem is linear: a single Newton step is exact
         r = op.residual(x, bc_values, imp, source_q, extra_ru)
 
-        def provider(kind):
-            if kind == "dense":
-                return op.jacobian_dense(x, imp, source_q)
-            return op.jacobian_csr(x, imp, source_q)
-
-        dx = solve_linear_system(provider, -r, space.n_dofs,
-                                 self._linear_solver)
+        dx = solver_linear_step(self, op, space, x, imp, source_q, -r)
         x = x + dx
         res = float(jnp.linalg.norm(op.residual(x, bc_values, imp,
                                                 source_q, extra_ru)))

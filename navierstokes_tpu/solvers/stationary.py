@@ -26,19 +26,30 @@ from navierstokes_tpu.solvers.base import SolverBase
 _DENSE_LIMIT = 4500
 
 
+def auto_linear_mode(n) -> str:
+    """Default linear-solve strategy by size/backend: on-device dense LU
+    for validation sizes, host SuperLU on the CPU backend, and
+    PCD-preconditioned FGMRES on accelerators (no sparse factorization
+    exists there)."""
+    if n <= _DENSE_LIMIT:
+        return "dense"
+    if not config.on_tpu():
+        return "host_lu"
+    return "pcd"
+
+
 def solve_linear_system(matrix_provider, rhs, n, mode=None):
-    """Pick a linear-solve strategy by size/backend.
+    """Solve with a strategy from :func:`auto_linear_mode`.
 
     ``matrix_provider(kind)`` returns the system matrix as kind
-    'dense' | 'csr'.  Returns the solution of A x = rhs.
+    'dense' | 'csr'.  Returns the solution of A x = rhs.  (The 'pcd' mode
+    is handled by the solvers directly via :func:`pcd_linear_solve`,
+    since it needs operator context beyond the matrix.)
     """
-    if mode is None:
-        if n <= _DENSE_LIMIT:
-            mode = "dense"
-        elif not config.on_tpu():
-            mode = "host_lu"
-        else:
-            mode = "gmres"
+    if mode is None or mode == "pcd":
+        mode = auto_linear_mode(n)
+        if mode == "pcd":
+            mode = "gmres"  # context-free fallback
     if mode == "dense":
         return dense_solve(matrix_provider("dense"), rhs)
     if mode == "host_lu":
@@ -47,6 +58,43 @@ def solve_linear_system(matrix_provider, rhs, n, mode=None):
     M = jacobi_preconditioner(csr.diagonal())
     x, res = gmres(csr, rhs, tol=1e-12, atol=1e-12, M=M)
     return x
+
+
+def pcd_linear_solve(operator, space, x, scalars, source_q, rhs, picard,
+                     monitor=None):
+    """PCD-preconditioned FGMRES solve of J(x) dx = rhs (SURVEY hard
+    part #1: the device-iterative replacement for direct LU)."""
+    from navierstokes_tpu.linalg.block_precond import PCDPreconditioner
+    from navierstokes_tpu.linalg.fgmres import fgmres
+
+    J = operator.jacobian_csr(x, scalars, source_q, picard=picard)
+    u, _ = space.split(x)
+    pcd = PCDPreconditioner(
+        operator, J.matvec, visc=scalars["cv"],
+        accel0=scalars.get("accel0", 0.0), u_current=u)
+    dx, res, its = fgmres(J.matvec, rhs, M_apply=pcd.apply,
+                          tol=1e-10, atol=1e-12, restart=60, maxiter=400)
+    if monitor is not None:
+        monitor.record("linear_solve", method="fgmres+pcd",
+                       iterations=its, residual=float(res))
+    return dx
+
+
+def solver_linear_step(solver, operator, space, x, scalars, source_q, rhs,
+                       picard=False):
+    """Shared linear-step dispatch used by all monolithic solvers."""
+    mode = solver._linear_solver or auto_linear_mode(space.n_dofs)
+    if mode == "pcd":
+        return pcd_linear_solve(operator, space, x, scalars, source_q, rhs,
+                                picard, solver.monitor)
+
+    def provider(kind):
+        if kind == "dense":
+            return operator.jacobian_dense(x, scalars, source_q,
+                                           picard=picard)
+        return operator.jacobian_csr(x, scalars, source_q, picard=picard)
+
+    return solve_linear_system(provider, rhs, space.n_dofs, mode)
 
 
 class StationarySolverBase(SolverBase):
@@ -81,35 +129,8 @@ class StationarySolverBase(SolverBase):
         op = self._operator
         r = op.residual(x, bc_values, scalars, source_q, extra_ru)
 
-        if self._linear_solver == "pcd":
-            return self._pcd_step(x, scalars, source_q, -r, picard)
-
-        def provider(kind):
-            if kind == "dense":
-                return op.jacobian_dense(x, scalars, source_q, picard=picard)
-            return op.jacobian_csr(x, scalars, source_q, picard=picard)
-
-        return solve_linear_system(provider, -r, self._space.n_dofs,
-                                   self._linear_solver)
-
-    def _pcd_step(self, x, scalars, source_q, rhs, picard):
-        """PCD-preconditioned FGMRES solve of J dx = rhs (SURVEY hard
-        part #1: the device-iterative replacement for direct LU)."""
-        from navierstokes_tpu.linalg.block_precond import PCDPreconditioner
-        from navierstokes_tpu.linalg.fgmres import fgmres
-
-        op = self._operator
-        J = op.jacobian_csr(x, scalars, source_q, picard=picard)
-        u, _ = self._space.split(x)
-        pcd = PCDPreconditioner(
-            op, J.matvec, visc=scalars["cv"],
-            accel0=scalars.get("accel0", 0.0), u_current=u)
-        dx, res, its = fgmres(J.matvec, rhs, M_apply=pcd.apply,
-                              tol=1e-10, atol=1e-12, restart=60,
-                              maxiter=400)
-        self.monitor.record("linear_solve", method="fgmres+pcd",
-                            iterations=its, residual=float(res))
-        return dx
+        return solver_linear_step(self, op, self._space, x, scalars,
+                                  source_q, -r, picard)
 
     def solve(self):
         """Hybrid Picard->Newton solve (reference policy :951-988)."""

@@ -24,7 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from navierstokes_tpu import config
-from navierstokes_tpu.solvers.stationary import solve_linear_system
+from navierstokes_tpu.solvers.stationary import solver_linear_step
 from navierstokes_tpu.solvers.transient import InstationarySolverBase
 from navierstokes_tpu.timestepping import GeneralThetaTimeStepping
 
@@ -124,13 +124,8 @@ class ThetaSolver(InstationarySolverBase):
                 break
             r = op.residual(x, bc_values, imp_scalars, source_q, extra_ru)
 
-            def provider(kind):
-                if kind == "dense":
-                    return op.jacobian_dense(x, imp_scalars, source_q)
-                return op.jacobian_csr(x, imp_scalars, source_q)
-
-            dx = solve_linear_system(provider, -r, space.n_dofs,
-                                     self._linear_solver)
+            dx = solver_linear_step(self, op, space, x, imp_scalars,
+                                    source_q, -r)
             x = x + dx
             res = residual_norm(x)
         else:
