@@ -180,3 +180,17 @@ def test_taylor_green_vortex():
     assert err_p < 2e-2, err_p
     # mean-pressure constraint enforced
     assert abs(float(op.mean_pressure(p))) < 1e-10
+
+
+def test_adaptive_time_stepping_limits_cfl():
+    """With _adaptive_time_stepping=True the CFL limiter shrinks the step
+    (the reference's limiter is a silent no-op in its default config,
+    ns_problem.py:599-603)."""
+    problem = ChannelFlowProblem(4)
+    problem._adaptive_time_stepping = True
+    problem._desired_start_time_step = 0.5   # CFL >> 1 initially
+    problem._n_max_steps = 3
+    problem.solve_problem()
+    ts = problem._time_stepping
+    # the limiter reduced the step below the desired 0.5
+    assert ts.get_previous_step_size() < 0.5
