@@ -208,8 +208,7 @@ def spherical_shell(dim, radii, n_points=10):
     ri, ro = (float(r) for r in radii)
     assert 0.0 < ri < ro
     if dim == 3:
-        raise NotImplementedError(
-            "3D spherical shells are not implemented yet")
+        return _spherical_shell_3d(ri, ro, n_points)
 
     h = 2.0 * ro / max(int(n_points), 3)
     n_r = max(2, int(math.ceil((ro - ri) / h)))
@@ -446,3 +445,94 @@ def blasius_plate(resolution=1.0):
                              (top, marker_map["top"]),
                              (plate, marker_map["plate"])])
     return mesh, markers, marker_map
+
+
+def _spherical_shell_3d(ri, ro, n_points):
+    """3D spherical shell: cube-sphere surface x radial layers.
+
+    Hexahedral cells are tetrahedralized through their centroid (12 tets
+    per hex), with every quad face split along the diagonal through its
+    lowest-global-index vertex -- a consistent rule, so the mesh is
+    conforming.  Replaces the reference's mshr Sphere CSG meshing
+    (grid_generator.py:92-95).
+    """
+    h = 2.0 * ro / max(int(n_points), 3)
+    n_face = max(2, int(math.ceil(0.5 * math.pi * ro / h)))
+    n_r = max(1, int(math.ceil((ro - ri) / h)))
+
+    # cube-sphere surface directions: 6 faces, deduplicated by direction
+    t = np.linspace(-1.0, 1.0, n_face + 1)
+    A, B = np.meshgrid(t, t, indexing="ij")
+    ones = np.ones_like(A)
+    face_grids = [
+        np.stack([ones, A, B], axis=-1), np.stack([-ones, A, B], axis=-1),
+        np.stack([A, ones, B], axis=-1), np.stack([A, -ones, B], axis=-1),
+        np.stack([A, B, ones], axis=-1), np.stack([A, B, -ones], axis=-1),
+    ]
+    dirs, quads = [], []
+    key_to_id = {}
+    for grid in face_grids:
+        pts = grid.reshape(-1, 3)
+        d = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        ids = np.empty(len(d), dtype=np.int64)
+        for i, v in enumerate(np.round(d, 9)):
+            key = tuple(v)
+            if key not in key_to_id:
+                key_to_id[key] = len(dirs)
+                dirs.append(d[i])
+            ids[i] = key_to_id[key]
+        ids = ids.reshape(n_face + 1, n_face + 1)
+        for i in range(n_face):
+            for j in range(n_face):
+                quads.append((ids[i, j], ids[i + 1, j],
+                              ids[i + 1, j + 1], ids[i, j + 1]))
+    dirs = np.asarray(dirs)
+    quads = np.asarray(quads, dtype=np.int64)
+    n_surf = len(dirs)
+
+    # radial layers of surface points
+    radii_levels = np.linspace(ri, ro, n_r + 1)
+    points = (radii_levels[:, None, None] * dirs[None, :, :]).reshape(-1, 3)
+
+    def nid(layer, surf):
+        return layer * n_surf + surf
+
+    cells = []
+    pts_list = [points]
+    next_new = len(points)
+    for layer in range(n_r):
+        for quad in quads:
+            bottom = [nid(layer, s) for s in quad]
+            top = [nid(layer + 1, s) for s in quad]
+            hex_pts = np.concatenate([pts_list[0][bottom],
+                                      pts_list[0][top]], axis=0)
+            centroid = hex_pts.mean(axis=0)
+            c_id = next_new
+            pts_list.append(centroid[None, :])
+            next_new += 1
+            # 6 quad faces of the hex (outward orientation irrelevant)
+            b0, b1, b2, b3 = bottom
+            t0, t1, t2, t3 = top
+            faces = [(b0, b1, b2, b3), (t0, t1, t2, t3),
+                     (b0, b1, t1, t0), (b1, b2, t2, t1),
+                     (b2, b3, t3, t2), (b3, b0, t0, t3)]
+            for f in faces:
+                # split along the diagonal through the min-index vertex
+                k = int(np.argmin(f))
+                a, b, c, d = f[k], f[(k + 1) % 4], f[(k + 2) % 4], \
+                    f[(k + 3) % 4]
+                cells.append((a, b, c, c_id))
+                cells.append((a, c, d, c_id))
+    points = np.concatenate(pts_list, axis=0)
+    mesh = SimplexMesh(points, np.asarray(cells, dtype=np.int32))
+
+    r_of = np.linalg.norm
+    inner_ids = mesh.mark_exterior_facets(
+        lambda x: np.abs(r_of(x, axis=1) - ri) < 1e-9 * ro)
+    outer_ids = mesh.mark_exterior_facets(
+        lambda x: np.abs(r_of(x, axis=1) - ro) < 1e-9 * ro)
+    markers = merge_markers([
+        (inner_ids, SphericalAnnulusBoundaryMarkers.interior_boundary.value),
+        (outer_ids, SphericalAnnulusBoundaryMarkers.exterior_boundary.value),
+    ])
+    return mesh, markers

@@ -169,3 +169,21 @@ def test_cell_orientation_enforced():
     cells = np.array([[0, 2, 1]], dtype=np.int32)
     mesh = SimplexMesh(points, cells)
     assert mesh.cell_volumes[0] > 0
+
+
+def test_spherical_shell_3d():
+    ri, ro = 0.5, 1.0
+    mesh, markers = spherical_shell(3, (ri, ro), 8)
+    assert mesh.dim == 3
+    vol = mesh.cell_volumes.sum()
+    exact = 4.0 / 3.0 * np.pi * (ro ** 3 - ri ** 3)
+    assert abs(vol - exact) / exact < 0.05   # polygonal sphere deficit
+    inner = markers.ids_with_value(
+        SphericalAnnulusBoundaryMarkers.interior_boundary.value)
+    outer = markers.ids_with_value(
+        SphericalAnnulusBoundaryMarkers.exterior_boundary.value)
+    assert len(inner) > 0 and len(outer) > 0
+    r_in = np.linalg.norm(mesh.facet_midpoints(inner), axis=1)
+    assert np.all(r_in < ri + 1e-9)
+    r_out = np.linalg.norm(mesh.facet_midpoints(outer), axis=1)
+    assert np.all(r_out > 0.9 * ro)
