@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def main(t_end=80.0, resolution=1.3, dt=0.005):
+def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None):
     import jax
     import jax.numpy as jnp
 
@@ -110,14 +110,23 @@ def main(t_end=80.0, resolution=1.3, dt=0.005):
 
     dtype = config.default_dtype()
     coords = space.u_coords
-    wake = np.exp(-((coords[:, 0] - 3.5) ** 2 + (coords[:, 1] - 2.0) ** 2))
+    # seed the vortex-street mode: alternating transverse blobs along the
+    # wake at the expected shedding wavelength U/f ~ 3.3 diameters
+    wake_env = (np.exp(-((coords[:, 1] - 2.0) / 0.8) ** 2)
+                * (coords[:, 0] > 2.5) * (coords[:, 0] < 16.0))
+    street = np.sin(2.0 * np.pi * (coords[:, 0] - 2.5) / 3.3)
     perturb = np.zeros((space.n_unodes, 2))
-    perturb[:, 1] = 0.05 * wake          # transverse kick in the near wake
-    perturb[v_mask.reshape(-1, 2)[:, 0], :] = 0.0
+    perturb[:, 1] = 0.25 * wake_env * street
     u = jnp.asarray(np.asarray(u_steady) + perturb, dtype=dtype).reshape(-1)
     u = jnp.where(jnp.asarray(v_mask), jnp.asarray(v_vals, dtype=dtype), u)
     p = jnp.asarray(p_steady, dtype=dtype)
     phi = jnp.zeros_like(p)
+    if resume is not None:
+        data = np.load(resume)
+        assert float(data["resolution"]) == resolution
+        u = jnp.asarray(data["u"], dtype=dtype)
+        p = jnp.asarray(data["p"], dtype=dtype)
+        phi = jnp.asarray(data["phi"], dtype=dtype)
     one = lambda v: jnp.asarray(v, dtype)
     a1 = (one(1.0), one(-1.0), one(0.0))
     e1 = (one(1.0), one(0.0))
@@ -145,6 +154,9 @@ def main(t_end=80.0, resolution=1.3, dt=0.005):
 
     os.makedirs("results", exist_ok=True)
     np.savetxt("results/dfg_2d2_coefficients.txt", series)
+    np.savez("results/dfg_2d2_state.npz", u=np.asarray(u),
+             u_old=np.asarray(u_old), p=np.asarray(p),
+             phi=np.asarray(phi), t=n_steps * dt, resolution=resolution)
 
     # evaluate over the final window (shedding fully developed)
     window = series[series[:, 0] > t_end - 20.0]
