@@ -89,7 +89,8 @@ def _gather_scatter(values_flat, table):
 class ShardedCellOperator:
     """Sharded matrix-free operators for a Taylor-Hood space."""
 
-    def __init__(self, space: TaylorHoodSpace, mesh: Mesh, axis="shard"):
+    def __init__(self, space: TaylorHoodSpace, mesh: Mesh, axis="shard",
+                 use_pallas=None):
         self.space = space
         self.mesh = mesh
         self.axis = axis
@@ -163,8 +164,23 @@ class ShardedCellOperator:
         self.u_table = jnp.asarray(np.stack(u_tabs))   # (n_dev, n_unodes, Ku)
         self.p_table = jnp.asarray(np.stack(p_tabs))   # (n_dev, n_pnodes, Kp)
 
+        import os
+
+        if use_pallas is None:
+            use_pallas = os.environ.get("NS_TPU_PALLAS", "") == "1"
+        self.use_pallas = bool(use_pallas)
+
         self._shard_spec = P(axis)
         self._repl = P()
+
+    def _elem_apply(self, A_c, u_c):
+        """Batched per-cell element-matrix apply (Pallas opt-in)."""
+        if self.use_pallas:
+            from navierstokes_tpu.assembly.pallas_kernels import \
+                element_apply
+
+            return element_apply(A_c, u_c)
+        return jnp.einsum("cij,cjd->cid", A_c, u_c)
 
     def _scatter_u(self, r_c, table):
         """(chunk, nn2, d) cell contributions -> (n_unodes, d)."""
@@ -182,7 +198,7 @@ class ShardedCellOperator:
 
         def local(M_c, cu, table, uflat):
             u_c = uflat.reshape(-1, dim)[cu]
-            r_c = jnp.einsum("cij,cjd->cid", M_c, u_c)
+            r_c = self._elem_apply(M_c, u_c)
             r = self._scatter_u(r_c, table)
             return jax.lax.psum(r.reshape(-1), axis)
 
@@ -199,7 +215,7 @@ class ShardedCellOperator:
         def local(M_c, K_c, cu, table, uflat, accel0):
             u_c = uflat.reshape(-1, dim)[cu]
             A_c = accel0 * M_c + visc * K_c
-            r_c = jnp.einsum("cij,cjd->cid", A_c, u_c)
+            r_c = self._elem_apply(A_c, u_c)
             r = self._scatter_u(r_c, table)
             return jax.lax.psum(r.reshape(-1), axis)
 
