@@ -109,6 +109,32 @@ def _rank_owners(owner: np.ndarray):
     return ranks.astype(np.int32), len(unique_owners), unique_owners
 
 
+def _morton_order(coords: np.ndarray) -> np.ndarray:
+    """Permutation sorting points along a Morton (Z-order) curve.
+
+    Used to renumber dof ranks for memory locality: cell gathers then touch
+    nearby rows, which matters on TPU where the matvec hot path is
+    gather-bound.
+    """
+    x = coords - coords.min(axis=0)
+    scale = x.max(axis=0)
+    scale[scale == 0.0] = 1.0
+    q = np.minimum((x / scale * 1023.0).astype(np.uint64), 1023)
+
+    def spread(v, dim):
+        # interleave bits: space each bit by `dim` positions
+        out = np.zeros_like(v)
+        for b in range(10):
+            out |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(dim * b)
+        return out
+
+    dim = coords.shape[1]
+    code = np.zeros(len(coords), dtype=np.uint64)
+    for a in range(dim):
+        code |= spread(q[:, a], dim) << np.uint64(a)
+    return np.argsort(code, kind="stable")
+
+
 # ---------------------------------------------------------------------------
 # the mixed space
 # ---------------------------------------------------------------------------
@@ -117,7 +143,7 @@ class TaylorHoodSpace:
     """P2/P1 (velocity/pressure) mixed space on a simplex mesh."""
 
     def __init__(self, mesh: SimplexMesh, periodic=None,
-                 quadrature_degree: int = 6):
+                 quadrature_degree: int = 6, renumber="morton"):
         self.mesh = mesh
         self.dim = mesh.dim
         self.periodic = list(periodic) if periodic else []
@@ -141,6 +167,20 @@ class TaylorHoodSpace:
         self._p_node_map, self.n_pnodes, p_keep = _rank_owners(p_owner)
         self.u_coords = u_coords_raw[u_keep]     # (n_unodes, dim) master coords
         self.p_coords = p_coords_raw[p_keep]
+
+        # renumber ranks along a Morton curve: gather locality on TPU
+        if renumber == "morton":
+            for which in ("u", "p"):
+                coords = self.u_coords if which == "u" else self.p_coords
+                order = _morton_order(coords)
+                inv = np.empty_like(order)
+                inv[order] = np.arange(len(order))
+                if which == "u":
+                    self.u_coords = coords[order]
+                    self._u_node_map = inv[self._u_node_map].astype(np.int32)
+                else:
+                    self.p_coords = coords[order]
+                    self._p_node_map = inv[self._p_node_map].astype(np.int32)
 
         self.cell_unodes = self._u_node_map[cell_unodes_raw]
         self.cell_pnodes = self._p_node_map[cell_pnodes_raw]

@@ -106,11 +106,20 @@ class ShardedCellOperator:
         chunk = self.n_cells_padded // self.n_dev
         self.chunk = chunk
 
+        # order cells along a Morton curve of their centroids: consecutive
+        # cells then gather/scatter nearby node rows (cell order is
+        # irrelevant to the assembled sums, so this is transparent)
+        from navierstokes_tpu.fem.spaces import _morton_order
+
+        centroids = space.mesh.points[space.mesh.cells].mean(axis=1)
+        cell_order = _morton_order(centroids)
+
         # geometry, padded with zero-weight cells
-        W = np.asarray(space.integration_weights(), dtype=dt)
-        Jinv = np.asarray(space.Jinv, dtype=dt)
-        cu = np.asarray(space.cell_unodes)
-        cp_ = np.asarray(space.cell_pnodes)
+        W = np.asarray(space.integration_weights(), dtype=dt)[cell_order]
+        Jinv = np.asarray(space.Jinv, dtype=dt)[cell_order]
+        cu = np.asarray(space.cell_unodes)[cell_order]
+        cp_ = np.asarray(space.cell_pnodes)[cell_order]
+        self.cell_order = cell_order
         if n_pad:
             W = np.concatenate([W, np.zeros((n_pad, W.shape[1]), W.dtype)])
             Jinv = np.concatenate([Jinv, np.repeat(Jinv[:1], n_pad, 0)])
@@ -126,7 +135,7 @@ class ShardedCellOperator:
         self.G2 = jnp.asarray(space.G2, dtype=dt)
         self.N1 = jnp.asarray(space.N1, dtype=dt)
 
-        # --- precomputed element matrices (host-side, once) ----------------
+        # --- precomputed element matrices (host-side, once; cell-ordered) --
         g2 = np.einsum("qia,cae->cqie", np.asarray(space.G2), Jinv)
         g1 = np.einsum("qja,cae->cqje", np.asarray(space.G1), Jinv)
         N2h = np.asarray(space.N2)
