@@ -94,12 +94,12 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
     if vel_bc is not None:
         v_free = jnp.where(jnp.asarray(vel_bc[0]), 0.0, 1.0).astype(
             diag_m.dtype)
-        v_vals = jnp.asarray(vel_bc[1], dtype=diag_m.dtype)
+        v_vals_static = jnp.asarray(vel_bc[1], dtype=diag_m.dtype)
     if pres_bc_mask is not None:
         p_free = jnp.where(jnp.asarray(pres_bc_mask), 0.0, 1.0).astype(
             diag_l.dtype)
 
-    def masked_u(A):
+    def masked_u(A, v_vals):
         """SPD-preserving Dirichlet projection of a velocity operator."""
         if vel_bc is None:
             return A, lambda b, x0: (b, x0)
@@ -128,9 +128,15 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
             return p_free * stiff_p(p_free * v) + (1.0 - p_free) * v
 
     @jax.jit
-    def step(u, u_old, p, phi, alpha, eta):
+    def step(u, u_old, p, phi, alpha, eta, bc_values=None):
+        """``bc_values``: optional traced override of the (steady) velocity
+        BC value array -- pass per step for time-dependent inflow."""
         a0, a1, a2 = alpha
         k = dt
+        if vel_bc is not None:
+            v_vals = v_vals_static if bc_values is None else bc_values
+        else:
+            v_vals = None
 
         # (1) velocity Helmholtz solve (mass-dominated: few iterations)
         u_ext = eta[0] * u + eta[1] * u_old
@@ -138,7 +144,7 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
              - conv(u_ext) - grad(p))
         inv_diag_h = inv((a0 / k) * diag_m + visc * diag_k)
         H = lambda v: helm(v, a0 / k)
-        H_m, fix = masked_u(H)
+        H_m, fix = masked_u(H, v_vals)
         b, x0 = fix(b, u)
         u_star = _pcg(H_m, b, x0, cg_iters[0], inv_diag=inv_diag_h)
 
@@ -149,7 +155,7 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
 
         # (3) velocity correction
         b_corr = mass_u(u_star) - (k / a0) * grad(phi_new)
-        M_m, fix = masked_u(mass_u)
+        M_m, fix = masked_u(mass_u, v_vals)
         b_corr, x0 = fix(b_corr, u_star)
         u_new = _pcg(M_m, b_corr, x0, cg_iters[2], inv_diag=inv(diag_m))
 
