@@ -25,9 +25,6 @@ Picard Jacobian (ns_solver_base.py:930-934).
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
 from navierstokes_tpu.fem.bcs import (WeakFormConvectiveTerm,

@@ -20,7 +20,6 @@ to the device unchanged.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import cached_property
 
 import numpy as np
 

@@ -10,8 +10,6 @@ TPU: CG for the SPD sub-problems (pressure Poisson, mass matrices) and
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ import math
 
 import numpy as np
 
-from navierstokes_tpu.mesh.core import FacetMarkers, SimplexMesh, merge_markers
+from navierstokes_tpu.mesh.core import SimplexMesh, merge_markers
 from navierstokes_tpu.mesh.markers import (
     HyperCubeBoundaryMarkers,
     SphericalAnnulusBoundaryMarkers,

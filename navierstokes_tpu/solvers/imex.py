@@ -19,8 +19,6 @@ the fully implicit BDF path.
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax.numpy as jnp
 
 from navierstokes_tpu.solvers.stationary import solver_linear_step

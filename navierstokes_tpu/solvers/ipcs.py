@@ -39,7 +39,6 @@ from navierstokes_tpu import config
 from navierstokes_tpu.assembly.operators import (PressurePoissonOperator,
                                                  VelocityOperator)
 from navierstokes_tpu.fem.dirichlet import compile_dirichlet_bcs
-from navierstokes_tpu.linalg.direct import HostSparseLU, dense_solve
 from navierstokes_tpu.linalg.krylov import masked_spd_solve
 from navierstokes_tpu.solvers.stationary import solve_linear_system
 from navierstokes_tpu.solvers.transient import InstationarySolverBase

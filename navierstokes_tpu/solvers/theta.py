@@ -23,7 +23,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from navierstokes_tpu import config
 from navierstokes_tpu.solvers.stationary import solver_linear_step
 from navierstokes_tpu.solvers.transient import InstationarySolverBase
 from navierstokes_tpu.timestepping import GeneralThetaTimeStepping

@@ -12,8 +12,6 @@ step -> mean-pressure shift when a mean-value constraint is active
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax.numpy as jnp
 
 from navierstokes_tpu import config
