@@ -286,3 +286,27 @@ def test_blasius_flow():
     # free stream is recovered near the inlet
     far_field = space.u_coords[:, 0] < -0.9
     assert np.allclose(u[far_field, 0], 1.0, atol=0.1)
+
+
+def test_cavity_re100_ghia_benchmark():
+    """Lid-driven cavity at Re=100 vs the Ghia et al. (1982) centerline
+    extrema (u_min = -0.21090 on the vertical centerline)."""
+    mesh, markers = hyper_cube(2, 48)
+    from navierstokes_tpu.solvers import StationarySolver
+
+    solver = StationarySolver(mesh, markers)
+    solver.set_boundary_conditions(
+        ((VelocityBCType.no_slip, M.left.value, None),
+         (VelocityBCType.no_slip, M.right.value, None),
+         (VelocityBCType.no_slip, M.bottom.value, None),
+         (VelocityBCType.constant, M.top.value, (1.0, 0.0))))
+    solver.set_equation_coefficients(
+        {"convective_term": 1.0, "viscous_term": 1.0 / 100.0,
+         "pressure_term": 1.0, "coriolis_term": None, "euler_term": None,
+         "body_force_term": None})
+    solver.solve()
+    u, _ = solver.space.split(solver.solution)
+    u = np.asarray(u)
+    centerline = np.abs(solver.space.u_coords[:, 0] - 0.5) < 1e-9
+    u_min = u[centerline, 0].min()
+    assert abs(u_min - (-0.2109)) < 0.006, u_min
