@@ -339,6 +339,33 @@ class MixedOperator:
         div = jnp.trace(g, axis1=2, axis2=3)
         return float(jnp.sqrt(jnp.sum(self.W * div ** 2)))
 
+    def velocity_operator_image(self, u, scalars, source_q=0.0):
+        """Velocity-block image of the momentum operator at ``u``.
+
+        Returns the un-masked assembled velocity residual (n_unodes, dim)
+        of the convective+viscous(+Coriolis) terms with the given
+        coefficients, zero pressure and zero acceleration -- the
+        explicit-side building block of theta/IMEX splittings.
+        """
+        space = self.space
+        p0 = jnp.zeros(space.n_pnodes, dtype=u.dtype)
+        full = dict(scalars)
+        full.setdefault("cp", 0.0)
+        full.setdefault("accel0", 0.0)
+        u_c = u[self.cell_unodes]
+        p_c = p0[self.cell_pnodes]
+
+        def one(u_cc, p_cc, Ji, Wc, sq):
+            r_u, _ = self._cell_residual(u_cc, p_cc, u_cc, Ji, Wc, sq,
+                                         full, False)
+            return r_u
+
+        in_axes = (0, 0, 0, 0, 0 if np.ndim(source_q) == 3 else None)
+        r_u_c = jax.vmap(one, in_axes=in_axes)(u_c, p_c, self.Jinv,
+                                               self.W, source_q)
+        return kernels.scatter_unodes(r_u_c, self.cell_unodes,
+                                      space.n_unodes)
+
 
 class VelocityOperator:
     """Residual/Jacobian on the collapsed P2 velocity subspace.
@@ -489,44 +516,10 @@ class PressurePoissonOperator:
         r_c = jnp.einsum("cq,cq,qj->cj", self.W, vals_at_quad, self.N1)
         return kernels.scatter_pnodes(r_c, self.cell_pnodes, self.n_dofs)
 
-
-def _velocity_image_method(self, u, scalars, source_q=0.0):
-    """Velocity-block image of the momentum operator at ``u``.
-
-    Returns the un-masked assembled velocity residual (n_unodes, dim) of
-    the convective+viscous(+Coriolis) terms with the given coefficients,
-    zero pressure and zero acceleration -- the explicit-side building
-    block of theta/IMEX splittings.
-    """
-    space = self.space
-    p0 = jnp.zeros(space.n_pnodes, dtype=u.dtype)
-    full = dict(scalars)
-    full.setdefault("cp", 0.0)
-    full.setdefault("accel0", 0.0)
-    u_c = u[self.cell_unodes]
-    p_c = p0[self.cell_pnodes]
-
-    def one(u_cc, p_cc, Ji, Wc, sq):
-        r_u, _ = self._cell_residual(u_cc, p_cc, u_cc, Ji, Wc, sq,
-                                     full, False)
-        return r_u
-
-    in_axes = (0, 0, 0, 0, 0 if np.ndim(source_q) == 3 else None)
-    r_u_c = jax.vmap(one, in_axes=in_axes)(u_c, p_c, self.Jinv, self.W,
-                                           source_q)
-    return kernels.scatter_unodes(r_u_c, self.cell_unodes, space.n_unodes)
-
-
-MixedOperator.velocity_operator_image = _velocity_image_method
-
-
-def _pressure_convection_matvec(self, p, u_q):
-    """N_p(u) p = integral((u . grad p) q): pressure-space convection
-    (the PCD preconditioner's transport operator)."""
-    grad_p = jnp.einsum("cj,cqje->cqe", p[self.cell_pnodes], self._g1)
-    conv = jnp.einsum("cqe,cqe->cq", u_q, grad_p)
-    r_c = jnp.einsum("cq,cq,qj->cj", self.W, conv, self.N1)
-    return kernels.scatter_pnodes(r_c, self.cell_pnodes, self.n_dofs)
-
-
-PressurePoissonOperator.convection_matvec = _pressure_convection_matvec
+    def convection_matvec(self, p, u_q):
+        """N_p(u) p = integral((u . grad p) q): pressure-space convection
+        (the PCD preconditioner's transport operator)."""
+        grad_p = jnp.einsum("cj,cqje->cqe", p[self.cell_pnodes], self._g1)
+        conv = jnp.einsum("cqe,cqe->cq", u_q, grad_p)
+        r_c = jnp.einsum("cq,cq,qj->cj", self.W, conv, self.N1)
+        return kernels.scatter_pnodes(r_c, self.cell_pnodes, self.n_dofs)

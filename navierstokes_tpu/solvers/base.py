@@ -336,33 +336,29 @@ class SolverBase:
     def _apply_bc_values_to_x(self, x, t=None):
         return x.at[jnp.asarray(self._bc_dofs_all)].set(self._bc_values(t))
 
+    def _store_residual_context(self, scalars, source_q, extra_ru):
+        self._last_residual_context = (scalars, source_q, extra_ru)
 
-def _store_residual_context(self, scalars, source_q, extra_ru):
-    self._last_residual_context = (scalars, source_q, extra_ru)
+    def boundary_reaction_force(self, bndry_id):
+        """Force exerted on a Dirichlet boundary, via nodal reactions.
 
-
-def _boundary_reaction_force(self, bndry_id):
-    """Force exerted on a Dirichlet boundary, via nodal reactions.
-
-    The raw (un-masked) assembled momentum residual at constrained
-    velocity nodes equals minus the discrete force the boundary exerts on
-    the fluid; summing it over the boundary's nodes and negating yields a
-    superconvergent drag/lift evaluation (the variational "reaction
-    force" method -- markedly more accurate than the direct traction
-    integral the reference demo uses, demo/dfg_benchmark.py:54-61).
-    """
-    assert hasattr(self, "_last_residual_context"), \
-        "solve() must run before evaluating reaction forces"
-    scalars, source_q, extra_ru = self._last_residual_context
-    zeros = jnp.zeros(len(self._bc_dofs_all), dtype=config.default_dtype())
-    r = self._operator.residual(self.solution, zeros, scalars, source_q,
-                                extra_ru, mask_bcs=False)
-    r_u = np.asarray(r[:self._space.n_velocity_dofs]).reshape(
-        -1, self._space_dim)
-    facet_ids = self._boundary_markers.ids_with_value(bndry_id)
-    nodes = np.asarray(self._space.facet_unodes(facet_ids))
-    return -r_u[nodes].sum(axis=0)
-
-
-SolverBase._store_residual_context = _store_residual_context
-SolverBase.boundary_reaction_force = _boundary_reaction_force
+        The raw (un-masked) assembled momentum residual at constrained
+        velocity nodes equals minus the discrete force the boundary
+        exerts on the fluid; summing it over the boundary's nodes and
+        negating yields a superconvergent drag/lift evaluation (the
+        variational "reaction force" method -- markedly more accurate
+        than the direct traction integral the reference demo assembles,
+        demo/dfg_benchmark.py:54-61).
+        """
+        assert hasattr(self, "_last_residual_context"), \
+            "solve() must run before evaluating reaction forces"
+        scalars, source_q, extra_ru = self._last_residual_context
+        zeros = jnp.zeros(len(self._bc_dofs_all),
+                          dtype=config.default_dtype())
+        r = self._operator.residual(self.solution, zeros, scalars,
+                                    source_q, extra_ru, mask_bcs=False)
+        r_u = np.asarray(r[:self._space.n_velocity_dofs]).reshape(
+            -1, self._space_dim)
+        facet_ids = self._boundary_markers.ids_with_value(bndry_id)
+        nodes = np.asarray(self._space.facet_unodes(facet_ids))
+        return -r_u[nodes].sum(axis=0)
