@@ -167,19 +167,30 @@ class TaylorHoodSpace:
         self.u_coords = u_coords_raw[u_keep]     # (n_unodes, dim) master coords
         self.p_coords = p_coords_raw[p_keep]
 
-        # renumber ranks along a Morton curve: gather locality on TPU
+        # renumber ranks class-major (vertex nodes, then edge midpoints),
+        # Morton-ordered within each class: the two classes have very
+        # different valences (vertices ~6-8 cells, midpoints 2 in 2D), so
+        # class-split ELL scatter tables waste no padded gather rows, and
+        # the Morton order gives gather locality on unstructured meshes
+        self.n_vertex_unodes = self.n_unodes
         if renumber == "morton":
-            for which in ("u", "p"):
-                coords = self.u_coords if which == "u" else self.p_coords
-                order = _morton_order(coords)
-                inv = np.empty_like(order)
-                inv[order] = np.arange(len(order))
-                if which == "u":
-                    self.u_coords = coords[order]
-                    self._u_node_map = inv[self._u_node_map].astype(np.int32)
-                else:
-                    self.p_coords = coords[order]
-                    self._p_node_map = inv[self._p_node_map].astype(np.int32)
+            is_vertex = u_keep < mesh.n_vertices
+            self.n_vertex_unodes = int(is_vertex.sum())
+            order_v = np.nonzero(is_vertex)[0][
+                _morton_order(self.u_coords[is_vertex])]
+            order_e = np.nonzero(~is_vertex)[0][
+                _morton_order(self.u_coords[~is_vertex])]
+            order = np.concatenate([order_v, order_e])
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            self.u_coords = self.u_coords[order]
+            self._u_node_map = inv[self._u_node_map].astype(np.int32)
+
+            order = _morton_order(self.p_coords)
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            self.p_coords = self.p_coords[order]
+            self._p_node_map = inv[self._p_node_map].astype(np.int32)
 
         self.cell_unodes = self._u_node_map[cell_unodes_raw]
         self.cell_pnodes = self._p_node_map[cell_pnodes_raw]

@@ -78,6 +78,32 @@ def build_scatter_transpose(cell_nodes: np.ndarray, n_nodes: int,
     return native.build_transpose(flat_nodes, n_nodes, k_pad)
 
 
+def build_scatter_transpose_range(cell_nodes: np.ndarray, lo: int,
+                                  hi: int, k_pad: int = None):
+    """Transpose table restricted to nodes in [lo, hi).
+
+    Rows index local node ids (node - lo); stored slot indices stay global
+    into the flattened per-cell values; entries whose node lies outside
+    the range simply get no row.  Used to split the velocity scatter by
+    node class (vertex vs edge-midpoint ranks), whose valences differ: a
+    single ELL width would waste padded gather rows.
+    """
+    flat = np.asarray(cell_nodes, dtype=np.int64).ravel()
+    n_flat = len(flat)
+    sel = np.nonzero((flat >= lo) & (flat < hi))[0]
+    local = flat[sel] - lo
+    counts = np.bincount(local, minlength=hi - lo)
+    K = max(int(counts.max()) if len(counts) else 1, 1)
+    if k_pad is not None:
+        K = max(K, int(k_pad))
+    order = np.argsort(local, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    table = np.full((hi - lo, K), n_flat, dtype=np.int32)
+    within = np.arange(len(sel)) - np.repeat(starts, counts)
+    table[local[order], within] = sel[order].astype(np.int32)
+    return table, K
+
+
 def _gather_scatter(values_flat, table):
     """Accumulate flattened per-cell values (n_flat, ...) into nodes."""
     pad_shape = (1,) + values_flat.shape[1:]
@@ -151,27 +177,30 @@ class ShardedCellOperator:
             np.einsum("cq,cqje,cqke->cjk", W, g1, g1), dtype=dt)
 
         # --- per-shard transpose-gather tables ------------------------------
-        nn2 = cu.shape[1]
-        nn1 = cp_.shape[1]
-        u_tabs, p_tabs = [], []
-        Ku = Kp = 0
-        for d in range(self.n_dev):
-            sl = slice(d * chunk, (d + 1) * chunk)
-            tab, k = build_scatter_transpose(cu[sl], space.n_unodes)
-            u_tabs.append(tab)
-            Ku = max(Ku, k)
-            tab, k = build_scatter_transpose(cp_[sl], space.n_pnodes)
-            p_tabs.append(tab)
-            Kp = max(Kp, k)
-        # re-pad all shards to the common K
-        u_tabs = [build_scatter_transpose(cu[d * chunk:(d + 1) * chunk],
-                                          space.n_unodes, Ku)[0]
-                  for d in range(self.n_dev)]
-        p_tabs = [build_scatter_transpose(cp_[d * chunk:(d + 1) * chunk],
-                                          space.n_pnodes, Kp)[0]
-                  for d in range(self.n_dev)]
-        self.u_table = jnp.asarray(np.stack(u_tabs))   # (n_dev, n_unodes, Ku)
-        self.p_table = jnp.asarray(np.stack(p_tabs))   # (n_dev, n_pnodes, Kp)
+        # the velocity scatter is split by node class (vertex nodes in
+        # ranks [0, n_vtx), edge midpoints in [n_vtx, n_unodes) after the
+        # class-major renumbering): valences differ a lot between classes
+        # (2D: ~6-8 vs 2), so class-wise ELL widths avoid gathering padded
+        # rows
+        n_vtx = getattr(space, "n_vertex_unodes", space.n_unodes)
+        self.n_vertex_unodes = n_vtx
+
+        def shard_tables(builder, *args):
+            tabs, K = [], 0
+            chunks = [args[0][d * chunk:(d + 1) * chunk]
+                      for d in range(self.n_dev)]
+            for c in chunks:
+                _, k = builder(c, *args[1:])
+                K = max(K, k)
+            tabs = [builder(c, *args[1:], K)[0] for c in chunks]
+            return jnp.asarray(np.stack(tabs))
+
+        self.u_table_v = shard_tables(build_scatter_transpose_range,
+                                      cu, 0, n_vtx)
+        self.u_table_e = shard_tables(build_scatter_transpose_range,
+                                      cu, n_vtx, space.n_unodes)
+        self.p_table = shard_tables(build_scatter_transpose,
+                                    cp_, space.n_pnodes)
 
         import os
 
@@ -191,10 +220,15 @@ class ShardedCellOperator:
             return element_apply(A_c, u_c)
         return jnp.einsum("cij,cjd->cid", A_c, u_c)
 
-    def _scatter_u(self, r_c, table):
-        """(chunk, nn2, d) cell contributions -> (n_unodes, d)."""
+    def _scatter_u(self, r_c, table_v, table_e):
+        """(chunk, nn2, d) cell contributions -> (n_unodes, d), assembled
+        through the class-split transpose tables."""
         flat = r_c.reshape(-1, self.dim)
-        return _gather_scatter(flat, table[0])
+        pad = jnp.zeros((1, self.dim), dtype=flat.dtype)
+        padded = jnp.concatenate([flat, pad], axis=0)
+        out_v = padded[table_v[0]].sum(axis=1)
+        out_e = padded[table_e[0]].sum(axis=1)
+        return jnp.concatenate([out_v, out_e], axis=0)
 
     def _scatter_p(self, r_c, table):
         flat = r_c.reshape(-1)
@@ -205,50 +239,53 @@ class ShardedCellOperator:
         """u -> M u (P2 vector mass), flat in/out."""
         space, axis, dim = self.space, self.axis, self.dim
 
-        def local(M_c, cu, table, uflat):
+        def local(M_c, cu, tab_v, tab_e, uflat):
             u_c = uflat.reshape(-1, dim)[cu]
             r_c = self._elem_apply(M_c, u_c)
-            r = self._scatter_u(r_c, table)
+            r = self._scatter_u(r_c, tab_v, tab_e)
             return jax.lax.psum(r.reshape(-1), axis)
 
         sharded = shard_map(local, mesh=self.mesh,
-                            in_specs=(P(axis), P(axis), P(axis), P()),
+                            in_specs=(P(axis),) * 4 + (P(),),
                             out_specs=P(), check_rep=False)
         return jax.jit(lambda u: sharded(self.M_c, self.cell_unodes,
-                                         self.u_table, u))
+                                         self.u_table_v, self.u_table_e,
+                                         u))
 
     def make_velocity_helmholtz(self, visc):
         """(u, accel0) -> (accel0 M + visc K) u with traced accel0."""
         space, axis, dim = self.space, self.axis, self.dim
 
-        def local(M_c, K_c, cu, table, uflat, accel0):
+        def local(M_c, K_c, cu, tab_v, tab_e, uflat, accel0):
             u_c = uflat.reshape(-1, dim)[cu]
             A_c = accel0 * M_c + visc * K_c
             r_c = self._elem_apply(A_c, u_c)
-            r = self._scatter_u(r_c, table)
+            r = self._scatter_u(r_c, tab_v, tab_e)
             return jax.lax.psum(r.reshape(-1), axis)
 
         sharded = shard_map(local, mesh=self.mesh,
-                            in_specs=(P(axis),) * 4 + (P(), P()),
+                            in_specs=(P(axis),) * 5 + (P(), P()),
                             out_specs=P(), check_rep=False)
         return jax.jit(lambda u, accel0: sharded(
-            self.M_c, self.K_c, self.cell_unodes, self.u_table, u, accel0))
+            self.M_c, self.K_c, self.cell_unodes, self.u_table_v,
+            self.u_table_e, u, accel0))
 
     def make_gradient(self):
         """p -> G p: velocity-space image of -int(p div w)."""
         axis, dim = self.axis, self.dim
 
-        def local(G_c, cp_, table, p):
+        def local(G_c, cp_, tab_v, tab_e, p):
             p_c = p[cp_]
             r_c = jnp.einsum("cidj,cj->cid", G_c, p_c)
-            r = self._scatter_u(r_c, table)
+            r = self._scatter_u(r_c, tab_v, tab_e)
             return jax.lax.psum(r.reshape(-1), axis)
 
         sharded = shard_map(local, mesh=self.mesh,
-                            in_specs=(P(axis), P(axis), P(axis), P()),
+                            in_specs=(P(axis),) * 4 + (P(),),
                             out_specs=P(), check_rep=False)
         return jax.jit(lambda p: sharded(self.G_c, self.cell_pnodes,
-                                         self.u_table, p))
+                                         self.u_table_v, self.u_table_e,
+                                         p))
 
     def make_divergence(self):
         """u -> D u with D u = -int(div u) q tested against P1 (note the
@@ -288,21 +325,22 @@ class ShardedCellOperator:
         axis, dim = self.axis, self.dim
         N2, G2 = self.N2, self.G2
 
-        def local(cu, Jinv, W, table, uflat):
+        def local(cu, Jinv, W, tab_v, tab_e, uflat):
             u_c = uflat.reshape(-1, dim)[cu]
             g2 = jnp.einsum("qia,cae->cqie", G2, Jinv)
             u_q = jnp.einsum("qi,cid->cqd", N2, u_c)
             grad_u = jnp.einsum("cid,cqie->cqde", u_c, g2)
             conv = cc * jnp.einsum("cqde,cqe->cqd", grad_u, u_q)
             r_c = jnp.einsum("cq,cqd,qi->cid", W, conv, N2)
-            r = self._scatter_u(r_c, table)
+            r = self._scatter_u(r_c, tab_v, tab_e)
             return jax.lax.psum(r.reshape(-1), axis)
 
         sharded = shard_map(local, mesh=self.mesh,
-                            in_specs=(P(axis),) * 4 + (P(),),
+                            in_specs=(P(axis),) * 5 + (P(),),
                             out_specs=P(), check_rep=False)
         return jax.jit(lambda u: sharded(self.cell_unodes, self.Jinv,
-                                         self.W, self.u_table, u))
+                                         self.W, self.u_table_v,
+                                         self.u_table_e, u))
 
     # -- composite (kept for API compatibility) ------------------------------
     def make_stokes_matvec(self, visc, cp=1.0, accel0=0.0):
