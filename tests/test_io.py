@@ -109,3 +109,21 @@ def test_solver_monitor(tmp_path):
     path = tmp_path / "metrics.jsonl"
     solver.monitor.to_jsonl(str(path))
     assert len(path.read_text().splitlines()) >= 2
+
+
+def test_problem_checkpoint_frequency(tmp_path):
+    """InstationaryProblem writes checkpoints at the configured cadence."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_transient_solvers import ChannelFlowProblem
+
+    problem = ChannelFlowProblem(3)
+    problem._main_dir = str(tmp_path)
+    problem._results_dir = str(tmp_path / "results")
+    problem._n_max_steps = 2
+    problem._checkpoint_frequency = 1
+    problem.solve_problem()
+    ckpt = tmp_path / "results" / "ChannelFlow_checkpoint.npz"
+    assert ckpt.exists()
+    data = np.load(ckpt)
+    assert int(data["step_number"]) == 2
