@@ -153,3 +153,58 @@ def test_phi_increment_scheme():
     err = solver.operator.l2_error_velocity(
         u, lambda x: tg_u(x, ts.current_time))
     assert err < 3e-3, err
+
+
+def test_ipcs_temporal_order():
+    """IPCS temporal convergence on Taylor-Green: second order in dt
+    (the BASELINE.json 'BDF-2 monolithic vs IPCS dt refinement' config)."""
+    import math
+
+    from navierstokes_tpu.fem.spaces import axis_periodic
+    from navierstokes_tpu.mesh import HyperCubeBoundaryMarkers as HM
+    from navierstokes_tpu.mesh import hyper_cube
+    from navierstokes_tpu.timestepping import BDFTimeStepping
+
+    g = 2 * np.pi
+    Re = 100.0
+
+    def u_ex(x, t):
+        d = np.exp(-2 * g * g * t / Re)
+        return d * np.stack([np.cos(g * x[:, 0]) * np.sin(g * x[:, 1]),
+                             -np.sin(g * x[:, 0]) * np.cos(g * x[:, 1])],
+                            axis=1)
+
+    def p_ex(x, t):
+        return -0.25 * np.exp(-4 * g * g * t / Re) * (
+            np.cos(2 * g * x[:, 0]) + np.cos(2 * g * x[:, 1]))
+
+    def run(dt):
+        mesh, markers = hyper_cube(2, 24)
+        ts = BDFTimeStepping(0.0, 0.2, desired_start_time_step=dt)
+        from navierstokes_tpu.solvers.ipcs import IPCSSolver as S
+
+        s = S(mesh, markers, "standard", ts)
+        s.set_periodic_boundary_conditions(
+            [axis_periodic(0), axis_periodic(1)],
+            (HM.left.value, HM.right.value, HM.top.value, HM.bottom.value))
+        s.set_boundary_conditions(
+            ((PressureBCType.mean_value, None, 0.0),))
+        s.set_equation_coefficients(
+            {"convective_term": 1.0, "viscous_term": 1.0 / Re,
+             "pressure_term": 1.0, "coriolis_term": None,
+             "euler_term": None, "body_force_term": None})
+        s.set_initial_conditions({"velocity": lambda x: u_ex(x, 0.0),
+                                  "pressure": lambda x: p_ex(x, 0.0)})
+        while not ts.is_at_end():
+            ts.update_coefficients()
+            s.solve()
+            ts.advance_time()
+            s.advance_time()
+        u, _ = s.space.split(s.solution)
+        return s.operator.l2_error_velocity(
+            u, lambda x: u_ex(x, ts.current_time))
+
+    e_coarse = run(0.04)
+    e_fine = run(0.02)
+    order = math.log2(e_coarse / e_fine)
+    assert order > 1.7, (e_coarse, e_fine, order)
