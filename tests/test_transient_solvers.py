@@ -194,3 +194,45 @@ def test_adaptive_time_stepping_limits_cfl():
     ts = problem._time_stepping
     # the limiter reduced the step below the desired 0.5
     assert ts.get_previous_step_size() < 0.5
+
+
+def test_time_dependent_body_force_and_bcs():
+    """Manufactured solution u = (t sin(pi y), 0), p = 0: linear in time,
+    so BDF integrates it exactly and only the spatial error remains.
+    Exercises the time-dependent body-force and Dirichlet-value paths
+    together."""
+    from navierstokes_tpu.solvers import ImplicitBDFSolver
+    from navierstokes_tpu.timestepping import BDFTimeStepping
+
+    nu = 0.1
+
+    def u_ex(x, t):
+        return np.stack([t * np.sin(np.pi * x[:, 1]),
+                         np.zeros(len(x))], axis=1)
+
+    def force(x, t):
+        f = np.sin(np.pi * x[:, 1]) * (1.0 + nu * np.pi ** 2 * t)
+        return np.stack([f, np.zeros(len(x))], axis=1)
+
+    mesh, markers = hyper_cube(2, 16)
+    ts = BDFTimeStepping(0.0, 1.0, desired_start_time_step=0.05)
+    solver = ImplicitBDFSolver(mesh, markers, "standard", ts)
+    solver.set_boundary_conditions(
+        tuple((VelocityBCType.function, face.value, u_ex)
+              for face in (M.left, M.right, M.bottom, M.top)))
+    solver.set_equation_coefficients(
+        {"convective_term": 1.0, "viscous_term": nu, "pressure_term": 1.0,
+         "coriolis_term": None, "euler_term": None,
+         "body_force_term": 1.0})
+    solver.set_body_force(force)
+    solver.set_initial_conditions({"velocity": (0.0, 0.0)})
+    for _ in range(6):
+        ts.update_coefficients()
+        solver.solve()
+        ts.advance_time()
+        solver.advance_time()
+    u, _ = solver.space.split(solver.solution)
+    t = ts.current_time
+    err = solver.operator.l2_error_velocity(u, lambda x: u_ex(x, t))
+    # linear-in-time: only the P2 interpolation error of sin(pi y) remains
+    assert err < 2e-4, err
