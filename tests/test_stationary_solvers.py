@@ -334,3 +334,28 @@ def test_traction_function_bc():
     space = problem._get_solver().space
     err = np.abs(np.asarray(u)[:, 0] + space.u_coords[:, 1]).max()
     assert err < 1e-11, err
+
+
+def test_reynolds_continuation_fallback():
+    """A starved direct solve (2 Picard + 5 Newton iterations) fails at
+    Re=1000 but succeeds through the automatic Reynolds-continuation ramp
+    (the reference's only robustness mechanism, ns_problem.py:478-501)."""
+
+    class HardCavity(CavityProblem):
+        def __init__(self):
+            super().__init__(16)
+            self._maxiter_picard = 2
+            self._maxiter = 5
+
+        def set_equation_coefficients(self):
+            self._coefficient_handler = EquationCoefficientHandler(
+                Re=1000.0)
+
+    problem = HardCavity()
+    problem.solve_problem()
+    u = problem._get_velocity()
+    assert np.isclose(float(jnp.abs(u[:, 0]).max()), 1.0)
+    assert problem._coefficient_handler.Re == 1000.0
+    # the continuation performed multiple nonlinear solves
+    solves = problem._get_solver().monitor.nonlinear_solves()
+    assert len(solves) > 5
