@@ -337,25 +337,40 @@ def test_traction_function_bc():
 
 
 def test_reynolds_continuation_fallback():
-    """A starved direct solve (2 Picard + 5 Newton iterations) fails at
-    Re=1000 but succeeds through the automatic Reynolds-continuation ramp
-    (the reference's only robustness mechanism, ns_problem.py:478-501)."""
+    """When the direct solve fails, the problem driver re-solves through
+    the automatic Reynolds-continuation ramp (the reference's only
+    robustness mechanism, ns_problem.py:478-501)."""
+    from navierstokes_tpu.solvers import StationarySolver
+
+    class FailFirstSolver(StationarySolver):
+        """Deterministically fail the first solve attempt."""
+
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._failed_once = False
+
+        def solve(self):
+            if not self._failed_once:
+                self._failed_once = True
+                raise RuntimeError("synthetic first-solve failure")
+            super().solve()
 
     class HardCavity(CavityProblem):
         def __init__(self):
-            super().__init__(16)
-            self._maxiter_picard = 2
-            self._maxiter = 5
+            super().__init__(12)
 
         def set_equation_coefficients(self):
             self._coefficient_handler = EquationCoefficientHandler(
-                Re=1000.0)
+                Re=500.0)
 
     problem = HardCavity()
+    problem.setup_mesh()
+    problem._navier_stokes_solver = FailFirstSolver(
+        problem._mesh, problem._boundary_markers)
     problem.solve_problem()
     u = problem._get_velocity()
     assert np.isclose(float(jnp.abs(u[:, 0]).max()), 1.0)
-    assert problem._coefficient_handler.Re == 1000.0
-    # the continuation performed multiple nonlinear solves
+    assert problem._coefficient_handler.Re == 500.0
+    # the continuation ramp performed the full sequence of solves
     solves = problem._get_solver().monitor.nonlinear_solves()
-    assert len(solves) > 5
+    assert len(solves) >= 14
