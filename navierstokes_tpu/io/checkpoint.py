@@ -20,6 +20,16 @@ def save_checkpoint(path: str, solver, time_stepping) -> None:
         "next_time": time_stepping.next_time,
         "step_number": time_stepping.step_number,
     }
+    # variable-step BDF coefficient state: without the lagged ratios and
+    # the current alpha tables, the first post-resume step of a
+    # *variable-step* run would silently recompute d^2 weights from
+    # Omega=1 (wrong history).  Persist them whenever present.
+    if hasattr(time_stepping, "_ratios"):
+        data["bdf_ratios"] = np.asarray(time_stepping._ratios)
+        data["bdf_alpha_1"] = np.asarray(time_stepping._alpha[1])
+        data["bdf_alpha_2"] = np.asarray(time_stepping._alpha[2])
+        data["bdf_changed"] = np.asarray(
+            [time_stepping._changed[1], time_stepping._changed[2]])
     for i, sol in enumerate(solver._solutions):
         data[f"solution_{i}"] = np.asarray(sol)
     if hasattr(solver, "_velocities"):
@@ -53,3 +63,9 @@ def load_checkpoint(path: str, solver, time_stepping) -> None:
     ts._current_time = float(data["current_time"])
     ts._next_time = float(data["next_time"])
     ts._step_number = int(data["step_number"])
+    if hasattr(ts, "_ratios") and "bdf_ratios" in data:
+        ts._ratios = [float(r) for r in data["bdf_ratios"]]
+        ts._alpha = {1: [float(a) for a in data["bdf_alpha_1"]],
+                     2: [float(a) for a in data["bdf_alpha_2"]]}
+        changed = data["bdf_changed"]
+        ts._changed = {1: bool(changed[0]), 2: bool(changed[1])}

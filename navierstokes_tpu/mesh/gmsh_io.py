@@ -62,12 +62,13 @@ _MSH_CELL_TYPES = {1: ("line", 2), 2: ("triangle", 3), 4: ("tetra", 4),
 
 
 def read_msh(filename: str):
-    """Read a gmsh MSH 2.2 ASCII file.
+    """Read a gmsh MSH ASCII file (legacy 2.2 or modern 4.1).
 
     Returns ``(mesh, markers)`` where interior/exterior codim-1 elements with
     physical tags become facet markers.  The spatial dimension is inferred
-    from the present cell types (tetra -> 3D, else 2D), mirroring
-    grid_tools.py:96-105.
+    from the present cell types (tetra -> 3D, else 2D), mirroring the
+    reference's meshio path (source/grid_tools.py:92-121), which accepts
+    whatever gmsh emits -- hence both major ASCII formats here.
     """
     with open(filename, "r") as fh:
         lines = fh.read().splitlines()
@@ -77,6 +78,20 @@ def read_msh(filename: str):
         end = lines.index(f"$End{name}")
         return lines[start:end]
 
+    fmt = section("MeshFormat")[0].split()
+    version = float(fmt[0])
+    if int(fmt[1]) != 0:
+        raise ValueError(f"{filename}: binary MSH files are not supported; "
+                         "re-export with 'gmsh -format msh2' or ASCII msh4")
+    if version >= 4.0:
+        nodes, blocks = _parse_msh41(section)
+    else:
+        nodes, blocks = _parse_msh22(section)
+
+    return _build_mesh(nodes, blocks)
+
+
+def _parse_msh22(section):
     node_lines = section("Nodes")
     n_nodes = int(node_lines[0])
     nodes = np.array([[float(v) for v in ln.split()[1:4]]
@@ -95,7 +110,71 @@ def read_msh(filename: str):
         phys = parts[3] if n_tags > 0 else 0
         conn = [v - 1 for v in parts[3 + n_tags:3 + n_tags + nv]]
         blocks.setdefault(name, []).append((phys, conn))
+    return nodes, blocks
 
+
+def _parse_msh41(section):
+    """MSH 4.1: entity-block nodes/elements; physical tags live on the
+    $Entities records and are looked up per (dim, entity tag)."""
+    # (dim, entity_tag) -> first physical tag (0 if none)
+    entity_phys = {}
+    try:
+        ent = section("Entities")
+    except ValueError:
+        ent = None
+    if ent is not None:
+        counts = [int(v) for v in ent[0].split()]
+        row = 1
+        for dim, n_ent in enumerate(counts):
+            for _ in range(n_ent):
+                parts = ent[row].split()
+                row += 1
+                tag = int(parts[0])
+                # points: tag x y z numPhys phys...; curves/surfaces/volumes:
+                # tag 6 bbox floats, then numPhys phys...
+                off = 4 if dim == 0 else 7
+                n_phys = int(parts[off])
+                phys = int(parts[off + 1]) if n_phys > 0 else 0
+                entity_phys[(dim, tag)] = phys
+
+    node_lines = section("Nodes")
+    header = [int(v) for v in node_lines[0].split()]
+    n_blocks, _, _, max_tag = header
+    coords = np.zeros((max_tag + 1, 3))
+    row = 1
+    for _ in range(n_blocks):
+        _, _, _, n_in_block = [int(v) for v in node_lines[row].split()]
+        row += 1
+        tags = [int(node_lines[row + i]) for i in range(n_in_block)]
+        row += n_in_block
+        for i, tag in enumerate(tags):
+            coords[tag] = [float(v)
+                           for v in node_lines[row + i].split()[:3]]
+        row += n_in_block
+    # node tags are 1-based and may be sparse; keep a dense array indexed by
+    # tag-1 (unused rows are dropped later by the shared build step)
+    nodes = coords[1:]
+
+    elem_lines = section("Elements")
+    n_blocks = int(elem_lines[0].split()[0])
+    row = 1
+    blocks = {}
+    for _ in range(n_blocks):
+        edim, etag, etype, n_in_block = [int(v)
+                                         for v in elem_lines[row].split()]
+        row += 1
+        phys = entity_phys.get((edim, etag), 0)
+        if etype in _MSH_CELL_TYPES:
+            name, nv = _MSH_CELL_TYPES[etype]
+            for i in range(n_in_block):
+                parts = [int(v) for v in elem_lines[row + i].split()]
+                conn = [v - 1 for v in parts[1:1 + nv]]
+                blocks.setdefault(name, []).append((phys, conn))
+        row += n_in_block
+    return nodes, blocks
+
+
+def _build_mesh(nodes, blocks):
     if "tetra" in blocks:
         dim, cell_name, facet_name = 3, "tetra", "triangle"
     else:

@@ -92,6 +92,41 @@ def test_checkpoint_resume(tmp_path):
     assert np.abs(x_resumed - x_ref).max() < 1e-12
 
 
+def test_checkpoint_resume_variable_step(tmp_path):
+    """Resume mid-run with a *variable* step schedule: the BDF ratio and
+    coefficient state must round-trip, so the trajectories agree bitwise."""
+    path = str(tmp_path / "ckpt.npz")
+    schedule = [0.01, 0.02, 0.015, 0.01, 0.012, 0.02]
+
+    solver, ts = _make_channel_solver(dt=schedule[0])
+    for step, dt in enumerate(schedule):
+        ts.set_desired_next_step_size(dt)
+        ts.update_coefficients()
+        solver.solve()
+        ts.advance_time()
+        solver.advance_time()
+        if step == 2:
+            save_checkpoint(path, solver, ts)
+            ratios_at_ckpt = list(ts._ratios)
+            alpha_at_ckpt = ts.coefficients(1)
+    x_ref = np.asarray(solver.solution)
+
+    solver2, ts2 = _make_channel_solver(dt=schedule[0])
+    solver2._setup_problem()
+    load_checkpoint(path, solver2, ts2)
+    assert ts2.step_number == 3
+    assert list(ts2._ratios) == ratios_at_ckpt
+    assert ts2.coefficients(1) == alpha_at_ckpt
+    for dt in schedule[3:]:
+        ts2.set_desired_next_step_size(dt)
+        ts2.update_coefficients()
+        solver2.solve()
+        ts2.advance_time()
+        solver2.advance_time()
+    x_resumed = np.asarray(solver2.solution)
+    assert np.array_equal(x_resumed, x_ref)
+
+
 def test_solver_monitor(tmp_path):
     """Structured metrics: iteration counts + residuals per solve."""
     solver, ts = _make_channel_solver()
