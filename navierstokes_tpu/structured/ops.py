@@ -11,7 +11,22 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+
+# TPU matmuls default to bfloat16 inputs, which loses ~4e-3 relative per
+# contraction -- far too coarse for the DFT and symbol applies.  Default to
+# full f32 ("highest"); overridable for experiments via env.
+import os as _os
+
+_PREC = getattr(jax.lax.Precision,
+                _os.environ.get("NS_TPU_MATMUL_PRECISION", "HIGHEST"))
+
+
+def _einsum(*args, **kw):
+    kw.setdefault("precision", _PREC)
+    return jnp.einsum(*args, **kw)
+
 
 from navierstokes_tpu.structured.grid import N_UCLASS
 
@@ -62,7 +77,7 @@ def apply_pu(taps, U):
     acc = 0.0
     for (_co, ci), entries in taps.items():
         for s, w in entries:
-            acc = acc + jnp.einsum(
+            acc = acc + _einsum(
                 "xyd,d->xy", _roll(U[ci], s),
                 jnp.asarray(np.asarray(w), U.dtype))
     return acc
@@ -123,8 +138,8 @@ class StructuredConvection:
 
     def __call__(self, U):
         u_loc = self.gather_local(U)                      # (2,6,x,y,d)
-        u_q = jnp.einsum("qi,tixyd->tqxyd", self.N2, u_loc)
-        grad_u = jnp.einsum("tixyd,tqie->tqxyde", u_loc, self.g2)
-        conv = jnp.einsum("tqxyde,tqxye->tqxyd", grad_u, u_q)
-        r = jnp.einsum("tq,tqxyd,qi->tixyd", self.W, conv, self.N2)
+        u_q = _einsum("qi,tixyd->tqxyd", self.N2, u_loc)
+        grad_u = _einsum("tixyd,tqie->tqxyde", u_loc, self.g2)
+        conv = _einsum("tqxyde,tqxye->tqxyd", grad_u, u_q)
+        r = _einsum("tq,tqxyd,qi->tixyd", self.W, conv, self.N2)
         return self.scatter_local(r)

@@ -8,10 +8,16 @@ def test_entry_step_runs():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    u, p, phi = fn(*args)
+    state = fn(*args)
+    # spectral state: (U, U_old, Uh, Uh_old, Ph); U physical class grids
+    u = state[0]
     assert u.shape == args[0].shape
-    assert p.shape == args[2].shape
     assert bool(jnp.all(jnp.isfinite(u)))
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    # jit-compilability of the entry step (what the driver checks)
+    state2 = jax.jit(fn)(*args)
+    assert jnp.allclose(state2[0], u)
 
 
 def test_dryrun_multichip_eight_devices():

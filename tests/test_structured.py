@@ -120,7 +120,7 @@ def test_spectral_symbols_match_stencils(setup):
     pairs = [
         (apply_uu(sgrid.taps_uu(sgrid.M_tau), U), sp.inv_u(sp.mass(Uh))),
         (apply_uu(sgrid.taps_uu(sgrid.K_tau), U),
-         sp.inv_u(jnp.einsum("xyab,xybd->xyad", sp.Khat, Uh))),
+         sp.inv_u(sp.stiffness(Uh))),
         (apply_up(sgrid.taps_up(sgrid.G_tau), P), sp.inv_u(sp.grad(Ph))),
         (apply_pu(sgrid.taps_pu(sgrid.G_tau), U), sp.inv_p(sp.div(Uh))),
     ]
@@ -135,23 +135,22 @@ def test_spectral_solves_exact(setup):
     U = jnp.asarray(sgrid.u_to_grids(u))
     Uh = sp.fwd_u(U)
 
-    # Helmholtz: solve(apply(x)) == x to machine precision
-    H = lambda V: 0.4 * sp.mass(V) + 0.1 * jnp.einsum(
-        "xyab,xybd->xyad", sp.Khat, V)
-    rec = sp.helmholtz_solve(jnp.asarray(0.4), 0.1, H(Uh))
+    # Helmholtz: solve(0.4 M x + 0.1 K x) == x to machine precision
+    MU = sp.mass(Uh)
+    KU = sp.stiffness(Uh)
+    H = type(MU)(0.4 * MU.re + 0.1 * KU.re, 0.4 * MU.im + 0.1 * KU.im)
+    rec = sp.helmholtz_solve(jnp.asarray(0.4), 0.1, H)
     assert np.allclose(np.asarray(sp.inv_u(rec)), np.asarray(U), atol=1e-11)
 
     # mass solve
     rec = sp.mass_solve(sp.mass(Uh))
     assert np.allclose(np.asarray(sp.inv_u(rec)), np.asarray(U), atol=1e-11)
 
-    # Poisson pseudo-inverse on mean-free data
+    # Poisson pseudo-inverse on mean-free data: solve(L p) == p
     P = jnp.asarray(sgrid.p_to_grid(p))
     P = P - jnp.mean(P)
-    Ph = sp.fwd_p(P)
-    Lp = jnp.einsum("xy,xy->xy", 1.0 / jnp.where(sp.Linv == 0, 1.0,
-                                                 sp.Linv), Ph)
-    rec = sp.poisson_solve(Lp)
+    LP = apply_pp(sgrid.taps_pp(sgrid.L_tau), P)
+    rec = sp.poisson_solve(sp.fwd_p(LP))
     assert np.allclose(np.asarray(sp.inv_p(rec)), np.asarray(P), atol=1e-10)
 
 
