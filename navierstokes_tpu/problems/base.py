@@ -317,6 +317,13 @@ class InstationaryProblem(ProblemBase):
         ts = self._time_stepping
         next_step_size = ts.get_next_step_size()
         assert next_step_size > 0.0
+        # the CFL evaluation costs a device sync per step; when the run is
+        # non-adaptive it is monitoring only, so honor _cfl_frequency
+        # (default 1 = reference parity, every step)
+        freq = getattr(self, "_cfl_frequency", 1)
+        if not self._adaptive_time_stepping and freq > 1 \
+                and ts.step_number % freq:
+            return
         cfl = self._compute_cfl_number(next_step_size)
         if cfl > 1.0 and self._adaptive_time_stepping:
             ts.set_desired_next_step_size(next_step_size / cfl)

@@ -71,12 +71,27 @@ def pressure_gradient(op: MixedOperator, p):
 
 
 def cfl_number(op: MixedOperator, u, step_size: float, degree: int = 2):
-    """max over quadrature points of deg * |u| * dt / h_cell."""
-    u_q = op.u_at_quad(u)
-    speed = jnp.sqrt(jnp.sum(u_q ** 2, axis=-1))
-    h = jnp.asarray(op.space.mesh.cell_diameters, dtype=speed.dtype)
-    cfl = degree * speed * step_size / h[:, None]
-    return float(jnp.max(cfl))
+    """max over quadrature points of deg * |u| * dt / h_cell.
+
+    One jitted program per (operator, degree): this runs every time step,
+    and a chain of eager ops would be round-trip-bound on a remote device.
+    """
+    import jax
+
+    def build():
+        h = jnp.asarray(op.space.mesh.cell_diameters)
+
+        @jax.jit
+        def impl(u, step_size):
+            u_q = op.u_at_quad(u)
+            speed = jnp.sqrt(jnp.sum(u_q ** 2, axis=-1))
+            cfl = degree * speed * step_size / h.astype(speed.dtype)[:, None]
+            return jnp.max(cfl)
+
+        return impl
+
+    fn = op._get_jit(("cfl", degree), build)
+    return float(fn(u, step_size))
 
 
 def stream_potential(op: MixedOperator, u, markers, dirichlet_ids,

@@ -28,14 +28,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _pcg(matvec, b, x0, iters, inv_diag=None, project=None):
-    """Fixed-iteration preconditioned CG (static schedule on TPU)."""
+def _pcg(matvec, b, x0, iters, inv_diag=None, project=None, rtol=None):
+    """Preconditioned CG: fixed-iteration (static schedule on TPU) or,
+    with ``rtol``, tolerance-controlled (``lax.while_loop`` with ``iters``
+    as the cap).  Returns ``(x, ||r||)`` so callers can assert/record
+    convergence instead of trusting a fixed sweep."""
 
     def precond(r):
         return r if inv_diag is None else inv_diag * r
 
-    def body(_, state):
-        x, r, z, p, rz = state
+    def body(state):
+        i, x, r, z, p, rz = state
         Ap = matvec(p)
         denom = jnp.vdot(p, Ap)
         # guard fixed-iteration breakdown: once converged (rz ~ 0) the
@@ -49,19 +52,32 @@ def _pcg(matvec, b, x0, iters, inv_diag=None, project=None):
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(jnp.abs(rz) > 0.0, rz_new / rz, 0.0)
         p = z + beta * p
-        return x, r, z, p, rz_new
+        return i + 1, x, r, z, p, rz_new
 
     r0 = b - matvec(x0)
     if project is not None:
         r0 = project(r0)
     z0 = precond(r0)
-    state = (x0, r0, z0, z0, jnp.vdot(r0, z0))
-    x, *_ = jax.lax.fori_loop(0, iters, body, state)
-    return x
+    state = (jnp.asarray(0), x0, r0, z0, z0, jnp.vdot(r0, z0))
+    if rtol is None:
+        state = jax.lax.fori_loop(0, iters,
+                                  lambda _, s: body(s), state)
+    else:
+        norm_b = jnp.linalg.norm(b)
+
+        def cond(state):
+            i, _, r, *_ = state
+            return jnp.logical_and(
+                i < iters, jnp.linalg.norm(r) > rtol * norm_b)
+
+        state = jax.lax.while_loop(cond, body, state)
+    _, x, r, *_ = state
+    return x, jnp.linalg.norm(r)
 
 
 def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
-                          vel_bc=None, pres_bc_mask=None):
+                          vel_bc=None, pres_bc_mask=None, conv_coeff=1.0,
+                          cg_rtol=None, with_residuals=False):
     """Build ``step(u, u_old, p, phi, alpha, eta) -> (u_new, p_new, phi)``.
 
     ``ops``: a ShardedCellOperator providing the matvec factories.
@@ -77,13 +93,24 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
       * ``pres_bc_mask=None``: enclosed flow -- the Poisson solve runs
         mean-free; ``pres_bc_mask``: (n_p,) boolean mask where the
         pressure is prescribed (the increment vanishes there).
+
+    Residual control (VERDICT weak #4): ``cg_rtol`` switches the three CG
+    sweeps from fixed iteration counts to a relative-residual stop with
+    ``cg_iters`` as caps; ``with_residuals=True`` makes ``step`` return a
+    fourth element, the final (Helmholtz, Poisson, correction) residual
+    norms, for per-step monitoring/assertion.
+
+    The step also accepts two optional traced keyword arguments:
+    ``bc_values`` (per-step velocity Dirichlet data, e.g. a time-dependent
+    inflow) and ``k`` (the step size -- defaults to the built ``dt``;
+    passing it traced makes variable step sizes recompile-free).
     """
     mass_u = ops.make_velocity_mass()
     helm = ops.make_velocity_helmholtz(visc)
     grad = ops.make_gradient()
     div = ops.make_divergence()
     stiff_p = ops.make_pressure_stiffness()
-    conv = ops.make_convection_rhs(1.0)
+    conv = ops.make_convection_rhs(conv_coeff)
     diag_m, diag_k, diag_l = ops.diagonals()
 
     def inv(d):
@@ -128,11 +155,16 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
             return p_free * stiff_p(p_free * v) + (1.0 - p_free) * v
 
     @jax.jit
-    def step(u, u_old, p, phi, alpha, eta, bc_values=None):
+    def step(u, u_old, p, phi, alpha, eta, bc_values=None, k=None,
+             body_rhs=None):
         """``bc_values``: optional traced override of the (steady) velocity
-        BC value array -- pass per step for time-dependent inflow."""
+        BC value array -- pass per step for time-dependent inflow.
+        ``k``: optional traced step size (defaults to the built ``dt``).
+        ``body_rhs``: optional traced velocity-space load vector
+        (pre-assembled body force) added to the momentum RHS."""
         a0, a1, a2 = alpha
-        k = dt
+        if k is None:
+            k = dt
         if vel_bc is not None:
             v_vals = v_vals_static if bc_values is None else bc_values
         else:
@@ -142,26 +174,33 @@ def build_projection_step(space, ops, *, visc, dt, cg_iters=(12, 45, 8),
         u_ext = eta[0] * u + eta[1] * u_old
         b = (-(a1 / k) * mass_u(u) - (a2 / k) * mass_u(u_old)
              - conv(u_ext) - grad(p))
+        if body_rhs is not None:
+            b = b + body_rhs
         inv_diag_h = inv((a0 / k) * diag_m + visc * diag_k)
         H = lambda v: helm(v, a0 / k)
         H_m, fix = masked_u(H, v_vals)
         b, x0 = fix(b, u)
-        u_star = _pcg(H_m, b, x0, cg_iters[0], inv_diag=inv_diag_h)
+        u_star, res_h = _pcg(H_m, b, x0, cg_iters[0], inv_diag=inv_diag_h,
+                             rtol=cg_rtol)
 
         # (2) incremental pressure Poisson (warm-started)
         rhs = project_p((a0 / k) * div(u_star))
-        phi_new = _pcg(stiff_masked, rhs, project_p(phi), cg_iters[1],
-                       inv_diag=inv_diag_l, project=project_p)
+        phi_new, res_p = _pcg(stiff_masked, rhs, project_p(phi),
+                              cg_iters[1], inv_diag=inv_diag_l,
+                              project=project_p, rtol=cg_rtol)
 
         # (3) velocity correction
         b_corr = mass_u(u_star) - (k / a0) * grad(phi_new)
         M_m, fix = masked_u(mass_u, v_vals)
         b_corr, x0 = fix(b_corr, u_star)
-        u_new = _pcg(M_m, b_corr, x0, cg_iters[2], inv_diag=inv(diag_m))
+        u_new, res_m = _pcg(M_m, b_corr, x0, cg_iters[2],
+                            inv_diag=inv(diag_m), rtol=cg_rtol)
 
         p_new = p + phi_new
         if pres_bc_mask is None:
             p_new = p_new - jnp.mean(p_new)
+        if with_residuals:
+            return u_new, p_new, phi_new, jnp.stack([res_h, res_p, res_m])
         return u_new, p_new, phi_new
 
     return step

@@ -263,7 +263,6 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
     rdtype = dtype or config.default_dtype()
     ops = SpectralOperators(sgrid, jnp.dtype(rdtype))
     conv = StructuredConvection(sgrid, rdtype)
-    k = dt
 
     def axpy(a, X: SplitC, Y):
         if Y is None:
@@ -271,9 +270,14 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
         return SplitC(Y.re + a * X.re, Y.im + a * X.im)
 
     @jax.jit
-    def step(state, alpha, eta):
+    def step(state, alpha, eta, k=None):
+        """``k``: optional traced step size (defaults to the built ``dt``;
+        the eigenbasis Helmholtz solve makes variable steps an elementwise
+        divide, never a refactorization)."""
         U, U_old, Uh, Uh_old, Ph = state
         a0, a1, a2 = alpha
+        if k is None:
+            k = dt
 
         # (1) Helmholtz: (a0/k M + nu K) u* = -(a1/k)M u - (a2/k)M u_old
         #                                     - C(extrapolated u) - G p

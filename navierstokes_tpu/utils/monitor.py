@@ -13,6 +13,23 @@ import json
 import time
 
 
+def _materialize(entry):
+    """Convert any lazily-recorded device scalars/arrays to plain floats.
+
+    Hot-loop callers may record jax arrays without blocking (a per-step
+    ``float()`` is a device round-trip -- expensive over a remote-TPU
+    tunnel); conversion happens here, at read time.
+    """
+    out = {}
+    for key, val in entry.items():
+        if hasattr(val, "ndim") and hasattr(val, "dtype"):
+            out[key] = float(val) if val.ndim == 0 else \
+                [float(v) for v in val]
+        else:
+            out[key] = val
+    return out
+
+
 class SolverMonitor:
     """Append-only event log attached to a solver instance."""
 
@@ -26,17 +43,18 @@ class SolverMonitor:
 
     # -- convenience --------------------------------------------------------
     def nonlinear_solves(self):
-        return [r for r in self.records if r["kind"] == "nonlinear_solve"]
+        return [_materialize(r) for r in self.records
+                if r["kind"] == "nonlinear_solve"]
 
     def total_iterations(self) -> int:
         return sum(r.get("iterations", 0) for r in self.nonlinear_solves())
 
     def last(self, kind: str = None):
         if kind is None:
-            return self.records[-1] if self.records else None
+            return _materialize(self.records[-1]) if self.records else None
         for r in reversed(self.records):
             if r["kind"] == kind:
-                return r
+                return _materialize(r)
         return None
 
     def summary(self) -> dict:
@@ -54,7 +72,7 @@ class SolverMonitor:
     def to_jsonl(self, path: str) -> None:
         with open(path, "w") as fh:
             for r in self.records:
-                fh.write(json.dumps(r) + "\n")
+                fh.write(json.dumps(_materialize(r)) + "\n")
 
 
 class timed_region:
