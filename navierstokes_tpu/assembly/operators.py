@@ -161,6 +161,65 @@ class MixedOperator:
 
         return jax.jit(impl)
 
+    def linearize_at(self, x, scalars, source_q=0.0, picard=False):
+        """Matrix-free Jacobian action J(x) @ v via ``jax.linearize``.
+
+        Returns ``(r, jvp)`` where ``jvp(v)`` applies the Newton (or
+        Picard, with the advecting field frozen at ``x``) Jacobian of the
+        *masked* residual -- identity rows at Dirichlet dofs, matching the
+        assembled path (:meth:`jacobian_csr`).  Call inside a jit trace:
+        the linearization point is computed once, each ``jvp`` costs one
+        residual-like sweep, and no CSR is ever formed.  This is the
+        at-scale replacement for per-cell ``jacfwd`` + CSR assembly
+        (reference counterpart: the SystemAssembler+LU Newton of
+        ns_solver_base.py:938-988).
+        """
+        space = self.space
+        u_frozen, _ = space.split(x)
+        uf_c = u_frozen[self.cell_unodes]
+        in_axes = (0, 0, 0, 0, 0, 0 if np.ndim(source_q) == 3 else None)
+
+        def masked_residual(z):
+            u, p = space.split(z)
+            u_c = u[self.cell_unodes]
+            p_c = p[self.cell_pnodes]
+
+            def one(u_cc, p_cc, uf_cc, Ji, Wc, sq):
+                return self._cell_residual(u_cc, p_cc, uf_cc, Ji, Wc, sq,
+                                           scalars, picard)
+
+            r_u_c, r_p_c = jax.vmap(one, in_axes=in_axes)(
+                u_c, p_c, uf_c, self.Jinv, self.W, source_q)
+            r_u = kernels.scatter_unodes(r_u_c, self.cell_unodes,
+                                         space.n_unodes)
+            r_p = kernels.scatter_pnodes(r_p_c, self.cell_pnodes,
+                                         space.n_pnodes)
+            r = jnp.concatenate([r_u.reshape(-1), r_p])
+            # bc offset (z[bc] - g) differentiates to identity rows; the
+            # constant g does not affect the jvp, so it is omitted here
+            return r.at[self._bc_dofs].set(z[self._bc_dofs])
+
+        return jax.linearize(masked_residual, x)
+
+    def velocity_jacobi_diags(self):
+        """Per-scalar-node diagonals of the P2 vector mass and stiffness.
+
+        Building blocks of the Jacobi diagonal of the velocity
+        convection-diffusion-reaction block: diag(F) ~= accel0 * dm +
+        visc * dk (convection contributes nothing to the diagonal in the
+        standard form).  Used by the matrix-free PCD preconditioner.
+        """
+        N2 = jnp.asarray(self.space.N2, dtype=_dtype())
+        G2 = jnp.asarray(self.space.G2, dtype=_dtype())
+        g2 = jnp.einsum("qia,cae->cqie", G2, self.Jinv)
+        dk_c = jnp.einsum("cq,cqie,cqie->ci", self.W, g2, g2)
+        dm_c = jnp.einsum("cq,qi,qi->ci", self.W, N2, N2)
+        n = self.space.n_unodes
+        zero = jnp.zeros((n,), dtype=dk_c.dtype)
+        dk = zero.at[self.cell_unodes].add(dk_c)
+        dm = zero.at[self.cell_unodes].add(dm_c)
+        return dm, dk
+
     # -- Jacobians -----------------------------------------------------------
     def _element_matrices(self, x, scalars, source_q, picard: bool):
         space = self.space

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def fgmres(matvec, b, M_apply=None, x0=None, tol=1e-10, atol=1e-12,
@@ -85,3 +86,67 @@ def fgmres(matvec, b, M_apply=None, x0=None, tol=1e-10, atol=1e-12,
         res = float(jnp.linalg.norm(r))
 
     return x, res, total_its
+
+
+def fgmres_device(matvec, M_apply, b, x0=None, *, restart=30, tol=1e-10,
+                  atol=1e-12, max_cycles=20):
+    """Fully jittable flexible GMRES: restarted cycles in a while_loop.
+
+    Unlike :func:`fgmres` (host-orchestrated Arnoldi, one device sync per
+    inner iteration -- ruinous over the TPU tunnel), everything here is one
+    XLA program: the Arnoldi basis is built with batched CGS2
+    orthogonalization (two (m+1, n) matmuls per iteration -- MXU work), the
+    small least-squares solve runs on device, and convergence is checked
+    once per restart cycle.  Each cycle runs its full ``restart`` inner
+    iterations; choose ``restart`` around the expected iteration count.
+
+    Returns ``(x, residual_norm, matvec_count)`` as traced values.
+    """
+    n = b.shape[0]
+    m = restart
+    b_norm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * b_norm, atol)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    def cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        safe_beta = jnp.where(beta > 0.0, beta, 1.0)
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(r / safe_beta)
+        Z = jnp.zeros((m, n), b.dtype)
+        H = jnp.zeros((m + 1, m), b.dtype)
+
+        def body(k, carry):
+            V, Z, H = carry
+            z = M_apply(V[k])
+            w = matvec(z)
+            mask = (jnp.arange(m + 1) <= k).astype(b.dtype)
+            h1 = (V @ w) * mask                 # CGS pass 1
+            w = w - V.T @ h1
+            h2 = (V @ w) * mask                 # CGS pass 2 (reorthogonalize)
+            w = w - V.T @ h2
+            h = h1 + h2
+            hk1 = jnp.linalg.norm(w)
+            V = V.at[k + 1].set(w / jnp.where(hk1 > 0.0, hk1, 1.0))
+            H = H.at[:, k].set(h).at[k + 1, k].set(hk1)
+            Z = Z.at[k].set(z)
+            return (V, Z, H)
+
+        V, Z, H = lax.fori_loop(0, m, body, (V, Z, H))
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return x + Z.T @ y
+
+    def cond(carry):
+        _, it, res = carry
+        return (res > target) & (it < max_cycles)
+
+    def body(carry):
+        x, it, _ = carry
+        x = cycle(x)
+        res = jnp.linalg.norm(b - matvec(x))
+        return (x, it + 1, res)
+
+    res0 = jnp.linalg.norm(b - matvec(x0))
+    x, cycles, res = lax.while_loop(cond, body, (x0, jnp.int32(0), res0))
+    return x, res, cycles * m

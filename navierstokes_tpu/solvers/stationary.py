@@ -60,23 +60,32 @@ def solve_linear_system(matrix_provider, rhs, n, mode=None):
     return x
 
 
-def pcd_linear_solve(operator, space, x, scalars, source_q, rhs, picard,
-                     monitor=None):
-    """PCD-preconditioned FGMRES solve of J(x) dx = rhs (SURVEY hard
-    part #1: the device-iterative replacement for direct LU)."""
-    from navierstokes_tpu.linalg.block_precond import PCDPreconditioner
-    from navierstokes_tpu.linalg.fgmres import fgmres
+def pcd_linear_solve(solver, operator, space, x, scalars, source_q, rhs,
+                     picard, monitor=None):
+    """Matrix-free PCD-FGMRES solve of J(x) dx = rhs (SURVEY hard part #1:
+    the at-scale device-iterative replacement for direct LU).
 
-    J = operator.jacobian_csr(x, scalars, source_q, picard=picard)
-    u, _ = space.split(x)
-    pcd = PCDPreconditioner(
-        operator, J.matvec, visc=scalars["cv"],
-        accel0=scalars.get("accel0", 0.0), u_current=u)
-    dx, res, its = fgmres(J.matvec, rhs, M_apply=pcd.apply,
-                          tol=1e-10, atol=1e-12, restart=60, maxiter=400)
+    The :class:`MatrixFreePCD` context (AMG hierarchy, diagonals, jitted
+    one-program solve) is built once per solver and reused across Newton
+    iterations, time steps and Reynolds-continuation stages.
+    """
+    from navierstokes_tpu.linalg.block_precond import MatrixFreePCD
+
+    ctx = getattr(solver, "_pcd_ctx", None)
+    if ctx is None or ctx.op is not operator:
+        ctx = MatrixFreePCD(operator)
+        solver._pcd_ctx = ctx
+    # inexact-Newton forcing: Picard steps only need coarse updates; Newton
+    # steps get eta = 1e-6 relative (enough to preserve the outer
+    # contraction down to the 1e-10 contract) with an absolute floor tied
+    # to the nonlinear target
+    nl_tol = getattr(solver, "_tol", 1e-10)
+    dx, res, its = ctx.solve(x, rhs, scalars, source_q, picard=picard,
+                             tol=1e-3 if picard else 1e-6,
+                             atol=0.01 * nl_tol)
     if monitor is not None:
-        monitor.record("linear_solve", method="fgmres+pcd",
-                       iterations=its, residual=float(res))
+        monitor.record("linear_solve", method="fgmres+pcd-matfree",
+                       iterations=int(its), residual=float(res))
     return dx
 
 
@@ -85,8 +94,8 @@ def solver_linear_step(solver, operator, space, x, scalars, source_q, rhs,
     """Shared linear-step dispatch used by all monolithic solvers."""
     mode = solver._linear_solver or auto_linear_mode(space.n_dofs)
     if mode == "pcd":
-        return pcd_linear_solve(operator, space, x, scalars, source_q, rhs,
-                                picard, solver.monitor)
+        return pcd_linear_solve(solver, operator, space, x, scalars,
+                                source_q, rhs, picard, solver.monitor)
 
     def provider(kind):
         if kind == "dense":

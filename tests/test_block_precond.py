@@ -65,3 +65,51 @@ def test_pcd_full_solve_matches_direct():
     s_pcd.solve()
     diff = float(jnp.abs(s_direct.solution - s_pcd.solution).max())
     assert diff < 1e-7, diff
+
+
+def test_matrix_free_jacobian_matches_csr():
+    """linearize_at (the at-scale matvec: no CSR ever formed) reproduces
+    the assembled Newton AND Picard Jacobian actions exactly."""
+    import jax
+
+    s = _cavity_solver(10, 50.0)
+    s._setup_problem()
+    op = s.operator
+    scalars = s._scalars()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(s.space.n_dofs))
+    v = jnp.asarray(rng.standard_normal(s.space.n_dofs))
+    for picard in (False, True):
+        J = op.jacobian_csr(x, scalars, 0.0, picard=picard)
+
+        @jax.jit
+        def mv(w, picard=picard):
+            _, jvp = op.linearize_at(x, scalars, 0.0, picard=picard)
+            return jvp(w)
+
+        err = float(jnp.abs(J.matvec(v) - mv(v)).max())
+        assert err < 1e-12, (picard, err)
+
+
+def test_matrix_free_pcd_newton_system():
+    """MatrixFreePCD solves a Newton system at the nonlinear solution to
+    tight relative tolerance -- the configuration where the round-1
+    BiCGStab-based preconditioner stalled at 1e-2 (NaN-poisoned inner
+    solves)."""
+    from navierstokes_tpu.linalg.block_precond import MatrixFreePCD
+
+    s = _cavity_solver(12, 100.0, linear_solver="dense")
+    s.solve()
+    x = s.solution
+    op = s.operator
+    scalars = s._scalars()
+    ctx = MatrixFreePCD(op, max_cycles=15)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(s.space.n_dofs))
+    dx, res, its = ctx.solve(x, b, scalars, 0.0, picard=False,
+                             tol=1e-8, atol=0.0)
+    assert float(res) <= 1e-7 * float(jnp.linalg.norm(b)), float(res)
+    # solution verifies against the assembled operator
+    J = op.jacobian_csr(x, scalars, 0.0, picard=False)
+    check = float(jnp.linalg.norm(J.matvec(dx) - b))
+    assert check <= 1e-6 * float(jnp.linalg.norm(b)), check
