@@ -75,7 +75,8 @@ def make_cell_residual(N2, G2, N1, dim, conv_form, visc_form,
       u_c (nn2, d): trial velocity coefficients
       p_c (nn1,):   trial pressure coefficients
       uf_c:         frozen advection velocity (Picard); ignored for Newton
-      Jinv (d, d), W (nq,): cell geometry (weights include |det J|)
+      Jinv (nq, d, d), W (nq,): cell geometry at quadrature points
+        (weights include |det J(xi_q)|; isoparametric cells supported)
       source_q (nq, d): precomputed u-independent momentum source
       scalars: dict of traced coefficients
         cc, cv, cp, accel0, cor (2*coriolis_coeff*omega; 3D: vector)
@@ -92,7 +93,7 @@ def make_cell_residual(N2, G2, N1, dim, conv_form, visc_form,
         cp = scalars["cp"]
         accel0 = scalars["accel0"]
 
-        g2 = jnp.einsum("qia,ae->qie", G2, Jinv)     # phys grads of P2
+        g2 = jnp.einsum("qia,qae->qie", G2, Jinv)    # phys grads of P2
         v_q = N2 @ u_c                                # (nq, d) trial
         grad_v = jnp.einsum("id,qie->qde", u_c, g2)
         p_q = N1 @ p_c
@@ -155,7 +156,7 @@ def make_velocity_cell_residual(N2, G2, N1, dim, conv_form, visc_form):
         cp = scalars["cp"]
         accel0 = scalars["accel0"]
 
-        g2 = jnp.einsum("qia,ae->qie", G2, Jinv)
+        g2 = jnp.einsum("qia,qae->qie", G2, Jinv)
         v_q = N2 @ u_c
         grad_v = jnp.einsum("id,qie->qde", u_c, g2)
         if picard:
@@ -190,8 +191,10 @@ def make_velocity_cell_residual(N2, G2, N1, dim, conv_form, visc_form):
 # ---------------------------------------------------------------------------
 
 def p1_stiffness_elements(G1, Jinv, W):
-    """(nc, nn1, nn1) element matrices of  (grad p, grad q)."""
-    g1 = jnp.einsum("qia,cae->cqie", jnp.asarray(G1), Jinv)
+    """(nc, nn1, nn1) element matrices of  (grad p, grad q).
+
+    ``Jinv``: per-quadrature-point inverse Jacobians (nc, nq, d, d)."""
+    g1 = jnp.einsum("qia,cqae->cqie", jnp.asarray(G1), Jinv)
     return jnp.einsum("cq,cqie,cqje->cij", W, g1, g1)
 
 

@@ -41,7 +41,7 @@ class MixedOperator:
         self.with_coriolis = with_coriolis
 
         dt = _dtype()
-        self.Jinv = jnp.asarray(space.Jinv, dtype=dt)
+        self.Jinv = jnp.asarray(space.Jinv_q, dtype=dt)
         self.W = jnp.asarray(space.integration_weights(), dtype=dt)
         self.cell_unodes = jnp.asarray(space.cell_unodes)
         self.cell_pnodes = jnp.asarray(space.cell_pnodes)
@@ -94,7 +94,7 @@ class MixedOperator:
 
     def grad_u_at_quad(self, u):
         G2 = jnp.asarray(self.space.G2, dtype=_dtype())
-        g2 = jnp.einsum("qia,cae->cqie", G2, self.Jinv)
+        g2 = jnp.einsum("qia,cqae->cqie", G2, self.Jinv)
         return jnp.einsum("cid,cqie->cqde", u[self.cell_unodes], g2)
 
     def p_at_quad(self, p):
@@ -103,7 +103,7 @@ class MixedOperator:
 
     def grad_p_at_quad(self, p):
         G1 = jnp.asarray(self.space.G1, dtype=_dtype())
-        g1 = jnp.einsum("qja,cae->cqje", G1, self.Jinv)
+        g1 = jnp.einsum("qja,cqae->cqje", G1, self.Jinv)
         return jnp.einsum("cj,cqje->cqe", p[self.cell_pnodes], g1)
 
     def quad_coords(self):
@@ -211,7 +211,7 @@ class MixedOperator:
         """
         N2 = jnp.asarray(self.space.N2, dtype=_dtype())
         G2 = jnp.asarray(self.space.G2, dtype=_dtype())
-        g2 = jnp.einsum("qia,cae->cqie", G2, self.Jinv)
+        g2 = jnp.einsum("qia,cqae->cqie", G2, self.Jinv)
         dk_c = jnp.einsum("cq,cqie,cqie->ci", self.W, g2, g2)
         dm_c = jnp.einsum("cq,qi,qi->ci", self.W, N2, N2)
         n = self.space.n_unodes
@@ -287,7 +287,6 @@ class MixedOperator:
             out[k] = arr
         out["cell_unodes"] = self.cell_unodes[out["cells"]]
         out["cell_pnodes"] = self.cell_pnodes[out["cells"]]
-        out["Jinv"] = self.Jinv[out["cells"]]
         return out
 
     def traction_residual(self, batch_dev: dict, t_q) -> jnp.ndarray:
@@ -305,7 +304,7 @@ class MixedOperator:
         """integral(u . n) over the batch facets (mass flux)."""
         u_q = jnp.einsum("fqi,fid->fqd", batch_dev["N2"],
                          u[batch_dev["cell_unodes"]])
-        un = jnp.einsum("fqd,fd->fq", u_q, batch_dev["normals"])
+        un = jnp.einsum("fqd,fqd->fq", u_q, batch_dev["normals"])
         return jnp.sum(batch_dev["weights"] * un)
 
     def boundary_traction_force(self, batch_dev: dict, u, p, visc) -> jnp.ndarray:
@@ -313,16 +312,14 @@ class MixedOperator:
 
         The DFG drag/lift integrand (reference demo/dfg_benchmark.py:54-61).
         """
-        g2 = jnp.einsum("fqia,fae->fqie", batch_dev["G2"], batch_dev["Jinv"])
+        g2 = jnp.einsum("fqia,fqae->fqie", batch_dev["G2"], batch_dev["Jinv"])
         grad_u = jnp.einsum("fid,fqie->fqde", u[batch_dev["cell_unodes"]], g2)
         p_q = jnp.einsum("fqj,fj->fq", batch_dev["N1"],
                          p[batch_dev["cell_pnodes"]])
         D = 0.5 * (grad_u + jnp.swapaxes(grad_u, 2, 3))
-        n = batch_dev["normals"][:, None, :]
+        n = batch_dev["normals"]                          # (nf, nqf, d)
         tau = (-p_q[:, :, None] * n
-               + visc * jnp.einsum("fqde,fqe->fqd", D,
-                                   jnp.broadcast_to(n, grad_u.shape[:2]
-                                                    + (self.dim,))))
+               + visc * jnp.einsum("fqde,fqe->fqd", D, n))
         return jnp.einsum("fq,fqd->d", batch_dev["weights"], tau)
 
     # -- projections / functionals -------------------------------------------
@@ -442,7 +439,7 @@ class VelocityOperator:
         self.visc_form = parse_viscous_form(form_viscous_term)
 
         dt = _dtype()
-        self.Jinv = jnp.asarray(space.Jinv, dtype=dt)
+        self.Jinv = jnp.asarray(space.Jinv_q, dtype=dt)
         self.W = jnp.asarray(space.integration_weights(), dtype=dt)
         self.cell_unodes = jnp.asarray(space.cell_unodes)
         self.cell_pnodes = jnp.asarray(space.cell_pnodes)
@@ -547,13 +544,13 @@ class PressurePoissonOperator:
         self.space = space
         self.dim = space.dim
         dt = _dtype()
-        self.Jinv = jnp.asarray(space.Jinv, dtype=dt)
+        self.Jinv = jnp.asarray(space.Jinv_q, dtype=dt)
         self.W = jnp.asarray(space.integration_weights(), dtype=dt)
         self.cell_pnodes = jnp.asarray(space.cell_pnodes)
         self.n_dofs = space.n_pnodes
         self.G1 = jnp.asarray(space.G1, dtype=dt)
         self.N1 = jnp.asarray(space.N1, dtype=dt)
-        self._g1 = jnp.einsum("qja,cae->cqje", self.G1, self.Jinv)
+        self._g1 = jnp.einsum("qja,cqae->cqje", self.G1, self.Jinv)
 
     def stiffness_matvec(self, p):
         grad_p = jnp.einsum("cj,cqje->cqe", p[self.cell_pnodes], self._g1)

@@ -142,7 +142,7 @@ class TaylorHoodSpace:
     """P2/P1 (velocity/pressure) mixed space on a simplex mesh."""
 
     def __init__(self, mesh: SimplexMesh, periodic=None,
-                 quadrature_degree: int = 6, renumber="morton"):
+                 quadrature_degree: int = 6, renumber="morton", snap=None):
         self.mesh = mesh
         self.dim = mesh.dim
         self.periodic = list(periodic) if periodic else []
@@ -151,8 +151,23 @@ class TaylorHoodSpace:
         nv, ne = mesh.n_vertices, mesh.n_edges
         dim = mesh.dim
 
-        # raw node sets
+        # raw node sets; boundary mid-edge nodes optionally snapped onto a
+        # curved boundary -> isoparametric P2 cells (the reference consumes
+        # true curved-boundary gmsh meshes for the DFG cylinder,
+        # source/grid_generator.py:452-455; a straight-edged polygon biases
+        # the pressure difference low)
         edge_mid = mesh.points[mesh.edges].mean(axis=1)
+        if snap is None:
+            snap = getattr(mesh, "snap", None)
+        self.snap = snap
+        if snap is not None:
+            assert dim == 2, "boundary snapping implemented for 2D"
+            on_curve, project = snap
+            von = np.asarray(on_curve(mesh.points), dtype=bool)
+            emask = (von[mesh.edges[:, 0]] & von[mesh.edges[:, 1]]
+                     & mesh.exterior_facet_mask)
+            if emask.any():
+                edge_mid[emask] = project(edge_mid[emask])
         u_coords_raw = np.concatenate([mesh.points, edge_mid], axis=0)
         p_coords_raw = mesh.points
         cell_unodes_raw = np.concatenate(
@@ -199,7 +214,9 @@ class TaylorHoodSpace:
         self.n_pressure_dofs = self.n_pnodes
         self.n_dofs = self.n_velocity_dofs + self.n_pressure_dofs
 
-        # cell geometry: J[c,d,e] = dx_d/dxi_e, Jinv[c,e,d] = dxi_e/dx_d
+        # affine cell geometry: J[c,d,e] = dx_d/dxi_e, Jinv[c,e,d] = dxi_e/dx_d
+        # (kept for the structured fast path and facet marking; the assembly
+        # operators use the per-quadrature-point isoparametric tables below)
         v = mesh.points[mesh.cells]                       # (nc, d+1, d)
         J = np.transpose(v[:, 1:, :] - v[:, :1, :], (0, 2, 1))
         self.detJ = np.linalg.det(J)
@@ -212,6 +229,16 @@ class TaylorHoodSpace:
         self.quad_points, self.quad_weights = q, w
         self.N2, self.G2 = elements.tabulate(2, q, dim)
         self.N1, self.G1 = elements.tabulate(1, q, dim)
+
+        # isoparametric P2 geometry: the coordinate map x(xi) = sum_i N2_i X_i
+        # with the (possibly snapped) raw node coordinates -- exact for
+        # straight cells, quadratic on curved-boundary cells.  Raw (pre-
+        # periodic-merge) coordinates keep wrapped cells geometrically local.
+        X_raw = u_coords_raw[cell_unodes_raw]             # (nc, nn2, d)
+        self.cell_ucoords = X_raw
+        Jq = np.einsum("qie,cid->cqde", self.G2, X_raw)   # (nc, nq, d, d)
+        self.detJ_q = np.abs(np.linalg.det(Jq))
+        self.Jinv_q = np.linalg.inv(Jq)
 
         self._facet_edge_lookup = None
 
@@ -237,13 +264,55 @@ class TaylorHoodSpace:
 
     # -- quadrature-point geometry -----------------------------------------
     def quad_coords(self) -> np.ndarray:
-        """Physical coordinates of all volume quadrature points (nc, nq, d)."""
-        return (self.cell_origin[:, None, :]
-                + np.einsum("cde,qe->cqd", self.J, self.quad_points))
+        """Physical coordinates of all volume quadrature points (nc, nq, d)
+        through the (isoparametric) P2 coordinate map."""
+        return np.einsum("qi,cid->cqd", self.N2, self.cell_ucoords)
 
     def integration_weights(self) -> np.ndarray:
-        """w_q * |det J_c| as an (nc, nq) array."""
-        return np.abs(self.detJ)[:, None] * self.quad_weights[None, :]
+        """w_q * |det J_c(xi_q)| as an (nc, nq) array."""
+        return self.detJ_q * self.quad_weights[None, :]
+
+    # -- point evaluation -----------------------------------------------------
+    def _locate_cells(self, points):
+        """(cell index, barycentric coords) of each query point (host).
+
+        Affine barycentric location; points on curved boundary cells are
+        located by the straight-cell hull (adequate for interior and
+        on-vertex queries).
+        """
+        pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        v0 = self.cell_origin                          # (nc, d)
+        # xi = Jinv_affine @ (x - v0); inside iff xi >= 0 and sum(xi) <= 1
+        d = pts[:, None, :] - v0[None, :, :]           # (np, nc, d)
+        xi = np.einsum("ced,pcd->pce", self.Jinv, d)
+        tol = 1e-10
+        inside = np.all(xi >= -tol, axis=2) & \
+            (xi.sum(axis=2) <= 1.0 + tol)
+        cells = np.argmax(inside, axis=1)
+        ok = inside[np.arange(len(pts)), cells]
+        if not ok.all():
+            # fall back to the nearest cell by barycentric violation
+            viol = np.maximum(np.maximum(-xi, 0.0).sum(axis=2),
+                              np.maximum(xi.sum(axis=2) - 1.0, 0.0))
+            cells = np.where(ok, cells, np.argmin(viol, axis=1))
+        return cells, xi[np.arange(len(pts)), cells]
+
+    def eval_pressure(self, p, points):
+        """Exact P1 interpolation of a pressure vector at physical points
+        (the DFG pressure-difference probe needs values AT the stagnation
+        points, not at the nearest node)."""
+        cells, xi = self._locate_cells(points)
+        N1, _ = elements.tabulate(1, xi, self.dim)      # (n_pts, 3|4)
+        p = np.asarray(p)
+        vals = np.einsum("pj,pj->p", N1, p[self.cell_pnodes[cells]])
+        return vals if len(vals) > 1 else float(vals[0])
+
+    def eval_velocity(self, u, points):
+        """P2 interpolation of a velocity field (n_unodes, dim) at points."""
+        cells, xi = self._locate_cells(points)
+        N2, _ = elements.tabulate(2, xi, self.dim)
+        u = np.asarray(u)
+        return np.einsum("pi,pid->pd", N2, u[self.cell_unodes[cells]])
 
     # -- facet (boundary) machinery ----------------------------------------
     def facet_unodes(self, facet_ids: np.ndarray) -> np.ndarray:
@@ -309,27 +378,51 @@ class TaylorHoodSpace:
             N2_tab[lf], G2_tab[lf] = elements.tabulate(2, emb, dim)
             N1_tab[lf], _ = elements.tabulate(1, emb, dim)
 
-        # physical quadrature coords via the cell affine map
-        xi = ref_pts[local]                                # (nf, nqf, dim)
-        xq = (self.cell_origin[cells][:, None, :]
-              + np.einsum("cde,cqe->cqd", self.J[cells], xi))
-        # facet measure: weights on the reference facet sum to 1 (2D) or
-        # 1/2 (3D reference triangle), scale to the physical facet measure
-        areas = mesh.facet_areas(ids)
-        wsum = wf.sum()
-        weights = areas[:, None] * (wf[None, :] / wsum)
-        normals = mesh.facet_outward_normals(ids)
+        N2_f = N2_tab[local]                               # (nf, nqf, nn2)
+        G2_f = G2_tab[local]                               # (nf, nqf, nn2, d)
+        X = self.cell_ucoords[cells]                       # (nf, nn2, d)
+
+        # physical quad coords + cell Jacobians at the facet quadrature
+        # points through the isoparametric map (exact for straight cells)
+        xq = np.einsum("fqi,fid->fqd", N2_f, X)
+        Jf = np.einsum("fqie,fid->fqde", G2_f, X)          # (nf, nqf, d, d)
+        Jinv_f = np.linalg.inv(Jf)
+
+        straight_normals = mesh.facet_outward_normals(ids)
+        if dim == 2:
+            # curved-aware facet measure/normals: tangent tau(q) = J_f t_ref
+            # with t_ref the reference-edge direction of d(emb)/dq
+            t_ref = np.empty((n_local, 1, dim))
+            for lf in range(n_local):
+                e0 = elements.facet_embedding(dim, lf, np.array([[0.0]]))
+                e1 = elements.facet_embedding(dim, lf, np.array([[1.0]]))
+                t_ref[lf, 0] = (e1 - e0)[0]
+            tau = np.einsum("fqde,fqe->fqd", Jf, t_ref[local])
+            ds = np.linalg.norm(tau, axis=-1)              # (nf, nqf)
+            weights = (wf[None, :] / wf.sum()) * ds
+            normals = np.stack([tau[..., 1], -tau[..., 0]], axis=-1) / \
+                ds[..., None]
+            # orient outward (match the straight-facet normal)
+            sign = np.sign(np.einsum("fqd,fd->fq", normals,
+                                     straight_normals))[..., None]
+            normals = normals * np.where(sign == 0.0, 1.0, sign)
+        else:
+            areas = mesh.facet_areas(ids)
+            weights = areas[:, None] * (wf[None, :] / wf.sum())
+            normals = np.broadcast_to(
+                straight_normals[:, None, :], xq.shape).copy()
 
         return {
             "facet_ids": ids.astype(np.int32),
             "cells": cells.astype(np.int32),
             "local": local.astype(np.int32),
-            "N2": N2_tab[local],        # (nf, nqf, 6|10)
-            "G2": G2_tab[local],        # (nf, nqf, 6|10, dim)
+            "N2": N2_f,                 # (nf, nqf, 6|10)
+            "G2": G2_f,                 # (nf, nqf, 6|10, dim)
             "N1": N1_tab[local],        # (nf, nqf, 3|4)
             "x": xq,                    # (nf, nqf, dim)
             "weights": weights,         # (nf, nqf)
-            "normals": normals,         # (nf, dim)
+            "normals": normals,         # (nf, nqf, dim) per-quad unit normals
+            "Jinv": Jinv_f,             # (nf, nqf, dim, dim)
         }
 
     # -- interpolation ------------------------------------------------------

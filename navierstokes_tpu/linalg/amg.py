@@ -195,14 +195,16 @@ def pressure_laplacian_scipy(space, *, mass_shift=0.0, dirichlet_dofs=None):
     """
     import scipy.sparse as sp
 
-    from navierstokes_tpu.assembly import kernels
-
-    Jinv = jnp.asarray(space.Jinv, dtype=jnp.float64)
-    W = jnp.asarray(space.integration_weights(), dtype=jnp.float64)
-    K_c = np.asarray(kernels.p1_stiffness_elements(space.G1, Jinv, W))
+    # host NumPy float64 regardless of the jax x64 flag: the hierarchy is
+    # built once and must not inherit the device's f32 storage precision
+    Jinv = np.asarray(space.Jinv_q, dtype=np.float64)
+    W = np.asarray(space.integration_weights(), dtype=np.float64)
+    G1 = np.asarray(space.G1, dtype=np.float64)
+    g1 = np.einsum("qia,cqae->cqie", G1, Jinv)
+    K_c = np.einsum("cq,cqie,cqje->cij", W, g1, g1)
     if mass_shift:
-        K_c = K_c + mass_shift * np.asarray(
-            kernels.p1_mass_elements(space.N1, W))
+        N1 = np.asarray(space.N1, dtype=np.float64)
+        K_c = K_c + mass_shift * np.einsum("cq,qi,qj->cij", W, N1, N1)
     cd = np.asarray(space.cell_pnodes, dtype=np.int64)
     nloc = cd.shape[1]
     rows = np.repeat(cd, nloc, axis=1).reshape(-1)
@@ -217,10 +219,9 @@ def pressure_laplacian_scipy(space, *, mass_shift=0.0, dirichlet_dofs=None):
 def pressure_mass_scipy(space):
     import scipy.sparse as sp
 
-    from navierstokes_tpu.assembly import kernels
-
-    W = jnp.asarray(space.integration_weights(), dtype=jnp.float64)
-    M_c = np.asarray(kernels.p1_mass_elements(space.N1, W))
+    W = np.asarray(space.integration_weights(), dtype=np.float64)
+    N1 = np.asarray(space.N1, dtype=np.float64)
+    M_c = np.einsum("cq,qi,qj->cij", W, N1, N1)
     cd = np.asarray(space.cell_pnodes, dtype=np.int64)
     nloc = cd.shape[1]
     rows = np.repeat(cd, nloc, axis=1).reshape(-1)

@@ -7,7 +7,8 @@ from navierstokes_tpu.mesh.core import (  # noqa: F401
     extract_all_boundary_markers,
     merge_markers,
 )
-from navierstokes_tpu.mesh.generators import (  # noqa: F401
+from navierstokes_tpu.mesh.generators import (
+    circle_snap,  # noqa: F401
     backward_facing_step,
     blasius_plate,
     channel_with_cylinder,

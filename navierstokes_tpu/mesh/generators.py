@@ -266,7 +266,30 @@ def _delaunay_mesh(points, inside_hole=None, min_quality=1e-6):
     return SimplexMesh(points[used], remap[cells])
 
 
-def channel_with_cylinder(resolution=1.0):
+def circle_snap(cx, cy, rad, tol=None):
+    """(on_curve, project) pair for isoparametric boundary snapping.
+
+    Passed to ``TaylorHoodSpace`` (directly or via ``mesh.snap``): P2
+    mid-edge nodes whose edge endpoints both lie on the circle are
+    projected radially onto it, recovering the true curved boundary the
+    reference consumes through gmsh meshes
+    (/root/reference/source/grid_generator.py:452-455).
+    """
+    t = tol if tol is not None else 1e-6 * rad
+
+    def on_curve(x):
+        r = np.hypot(x[:, 0] - cx, x[:, 1] - cy)
+        return np.abs(r - rad) < t
+
+    def project(x):
+        d = np.stack([x[:, 0] - cx, x[:, 1] - cy], axis=1)
+        d = d / np.linalg.norm(d, axis=1, keepdims=True)
+        return np.array([cx, cy])[None, :] + rad * d
+
+    return on_curve, project
+
+
+def channel_with_cylinder(resolution=1.0, curved=True):
     """DFG 2D-2 cylinder-in-channel benchmark mesh.
 
     Geometry nondimensionalized by the cylinder diameter (matching the
@@ -289,8 +312,14 @@ def channel_with_cylinder(resolution=1.0):
     # boundary ring is generated at rad / cos(pi/n) so the chord midpoints
     # lie on the true circle: an inscribed polygon is hydrodynamically
     # smaller and biases drag low.
-    n_c = int(round(2.0 * math.pi * rad / h_cyl))
-    rad_poly = rad / math.cos(math.pi / n_c)
+    # even count: the front/back stagnation points (angles pi and 0) are
+    # then mesh vertices, so the DFG pressure-difference probe evaluates
+    # at exact locations
+    n_c = 2 * int(round(math.pi * rad / h_cyl))
+    # curved=True: boundary vertices on the true circle; the space snaps
+    # the P2 mid-edge nodes onto it (isoparametric cells).  curved=False:
+    # chord-compensated polygon (the round-1 straight-edged fallback).
+    rad_poly = rad if curved else rad / math.cos(math.pi / n_c)
     growth, r_k, h_k = 1.25, rad_poly, h_cyl
     while r_k < 2.6 * rad:
         n_k = max(16, int(round(2.0 * math.pi * r_k / h_k)))
@@ -369,6 +398,8 @@ def channel_with_cylinder(resolution=1.0):
          marker_map["lower wall"]),
         (on_cyl, marker_map["cylinder"]),
     ])
+    if curved:
+        mesh.snap = circle_snap(cx, cy, rad, tol=1e-6 * rad)
     return mesh, markers, marker_map
 
 

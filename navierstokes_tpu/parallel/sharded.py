@@ -142,7 +142,7 @@ class ShardedCellOperator:
 
         # geometry, padded with zero-weight cells
         W = np.asarray(space.integration_weights(), dtype=dt)[cell_order]
-        Jinv = np.asarray(space.Jinv, dtype=dt)[cell_order]
+        Jinv = np.asarray(space.Jinv_q, dtype=dt)[cell_order]
         cu = np.asarray(space.cell_unodes)[cell_order]
         cp_ = np.asarray(space.cell_pnodes)[cell_order]
         self.cell_order = cell_order
@@ -162,8 +162,8 @@ class ShardedCellOperator:
         self.N1 = jnp.asarray(space.N1, dtype=dt)
 
         # --- precomputed element matrices (host-side, once; cell-ordered) --
-        g2 = np.einsum("qia,cae->cqie", np.asarray(space.G2), Jinv)
-        g1 = np.einsum("qja,cae->cqje", np.asarray(space.G1), Jinv)
+        g2 = np.einsum("qia,cqae->cqie", np.asarray(space.G2), Jinv)
+        g1 = np.einsum("qja,cqae->cqje", np.asarray(space.G1), Jinv)
         N2h = np.asarray(space.N2)
         N1h = np.asarray(space.N1)
         self.M_c = jnp.asarray(
@@ -327,7 +327,7 @@ class ShardedCellOperator:
 
         def local(cu, Jinv, W, tab_v, tab_e, uflat):
             u_c = uflat.reshape(-1, dim)[cu]
-            g2 = jnp.einsum("qia,cae->cqie", G2, Jinv)
+            g2 = jnp.einsum("qia,cqae->cqie", G2, Jinv)
             u_q = jnp.einsum("qi,cid->cqd", N2, u_c)
             grad_u = jnp.einsum("cid,cqie->cqde", u_c, g2)
             conv = cc * jnp.einsum("cqde,cqe->cqd", grad_u, u_q)

@@ -114,7 +114,7 @@ def stream_potential(op: MixedOperator, u, markers, dirichlet_ids,
         batch = space.facet_batch(fids)
         dev = op.facet_batch_device(batch)
         u_q = jnp.einsum("fqi,fid->fqd", dev["N2"], u[dev["cell_unodes"]])
-        un = jnp.einsum("fqd,fd->fq", u_q, dev["normals"])
+        un = jnp.einsum("fqd,fqd->fq", u_q, dev["normals"])
         contrib_c = -jnp.einsum("fq,fq,fqj->fj", dev["weights"], un,
                                 dev["N1"])
         rhs = rhs + jnp.zeros_like(rhs).at[dev["cell_pnodes"]].add(contrib_c)
