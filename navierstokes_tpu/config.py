@@ -26,8 +26,15 @@ def x64_enabled() -> bool:
 
 
 def default_dtype():
-    """Widest supported float dtype (f64 iff x64 is enabled)."""
-    return jnp.float64 if x64_enabled() else jnp.float32
+    """Device storage dtype.
+
+    float64 on the CPU backend when x64 is enabled (validation/CI);
+    float32 whenever the primary backend is an accelerator -- even with
+    x64 enabled, which is the **mixed-precision mode**: the host
+    accumulates float64 (assembly/host_reference.py) while every device
+    array stays float32 (TPU has no fast f64 path).
+    """
+    return jnp.float64 if (x64_enabled() and not on_tpu()) else jnp.float32
 
 
 def default_int_dtype():

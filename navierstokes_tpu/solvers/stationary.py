@@ -203,5 +203,78 @@ class StationarySolverBase(SolverBase):
         self._store_residual_context(scalars, source_q, extra_ru)
         assert residual <= self._tol, "Newton iteration did not converge."
 
+    def solve_refined(self, tol=1.0e-10, maxiter=30):
+        """Mixed-precision solve: f32 device Krylov + f64 host residual.
+
+        Restores the reference's float64 convergence contract
+        (||F||_2 <= 1e-10, ns_solver_base.py:986-988) on accelerators
+        with no fast float64 path (SURVEY hard part #5): after the
+        device-precision :meth:`solve`, iterative refinement evaluates
+        the true float64 residual on the host (assembly/host_reference),
+        solves the correction with the float32 matrix-free PCD machinery
+        on device, and accumulates the iterate in float64.  On a float64
+        CPU backend this is a no-op after the first residual check.
+
+        Returns the float64 solution (also stored as
+        ``self.solution_f64``); ``self.solution`` keeps the
+        device-precision copy.
+        """
+        import numpy as _np
+
+        from navierstokes_tpu.assembly.host_reference import residual_f64
+        from navierstokes_tpu.linalg.block_precond import MatrixFreePCD
+
+        if self._solution is None:
+            self.solve()
+        assert not self._traction_bcs, \
+            "refinement with traction BCs is not implemented"
+
+        op = self._operator
+        ctx = getattr(self, "_pcd_ctx", None)
+        if ctx is None or ctx.op is not op:
+            ctx = MatrixFreePCD(op)
+            self._pcd_ctx = ctx
+
+        scalars = self._scalars()
+        source_q = self._momentum_source()
+        source64 = (_np.asarray(source_q, dtype=_np.float64)
+                    if _np.ndim(source_q) == 3 else 0.0)
+        bc_values = self._bc_values()
+        bcv64 = _np.asarray(bc_values, dtype=_np.float64)
+        dtype_dev = config.default_dtype()
+
+        x = _np.array(self._solution, dtype=_np.float64)
+        bc_dofs = _np.asarray(self._bc_dofs_all)
+        x[bc_dofs] = bcv64
+
+        import time as _time
+        t0 = _time.perf_counter()
+        history = []
+        for k in range(maxiter):
+            r = residual_f64(
+                self._space, x, bc_dofs, bcv64, scalars,
+                form_convective_term=self._form_convective_term,
+                form_viscous_term=self._form_viscous_term,
+                source_q=source64)
+            rn = float(_np.linalg.norm(r))
+            history.append(rn)
+            if rn <= tol:
+                break
+            dx, _, _ = ctx.solve(
+                jnp.asarray(x, dtype=dtype_dev),
+                jnp.asarray(-r, dtype=dtype_dev),
+                scalars, source_q, picard=False, tol=1e-4, atol=0.0)
+            x = x + _np.asarray(dx, dtype=_np.float64)
+
+        self.monitor.record(
+            "mixed_precision_refinement", iterations=len(history) - 1,
+            residual=history[-1], initial_residual=history[0],
+            seconds=_time.perf_counter() - t0)
+        assert history[-1] <= tol, \
+            f"refinement stalled at ||F|| = {history[-1]:.3e}"
+        self.solution_f64 = x
+        self._solution = jnp.asarray(x, dtype=dtype_dev)
+        return x
+
 
 StationarySolver = StationarySolverBase
