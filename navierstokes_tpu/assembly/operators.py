@@ -34,6 +34,7 @@ class MixedOperator:
 
     def __init__(self, space: TaylorHoodSpace, form_convective_term="standard",
                  form_viscous_term="reduced", with_coriolis=False):
+        config.ensure_accurate_matmuls()
         self.space = space
         self.dim = space.dim
         self.conv_form = parse_convective_form(form_convective_term)
@@ -433,6 +434,7 @@ class VelocityOperator:
 
     def __init__(self, space: TaylorHoodSpace, form_convective_term="standard",
                  form_viscous_term="reduced"):
+        config.ensure_accurate_matmuls()
         self.space = space
         self.dim = space.dim
         self.conv_form = parse_convective_form(form_convective_term)
@@ -541,6 +543,7 @@ class PressurePoissonOperator:
     """
 
     def __init__(self, space: TaylorHoodSpace):
+        config.ensure_accurate_matmuls()
         self.space = space
         self.dim = space.dim
         dt = _dtype()

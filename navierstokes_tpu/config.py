@@ -66,5 +66,27 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
+_matmul_precision_set = False
+
+
+def ensure_accurate_matmuls() -> None:
+    """Force true-f32 matmul accumulation on accelerators.
+
+    TPU f32 matmuls default to bf16 multiplication passes (~1e-3 relative
+    error per contraction), which floors every Krylov solve on the
+    assembly sweeps at ~1e-3 relative residual.  Called by the operator
+    constructors; opt out with NS_TPU_FAST_MATMUL=1 (bench-only paths set
+    their own per-einsum precision).
+    """
+    global _matmul_precision_set
+    if _matmul_precision_set or not on_tpu():
+        return
+    if os.environ.get("NS_TPU_FAST_MATMUL", "") == "1":
+        _matmul_precision_set = True
+        return
+    jax.config.update("jax_default_matmul_precision", "highest")
+    _matmul_precision_set = True
+
+
 if os.environ.get("NS_TPU_X64", "").lower() in ("1", "true", "yes"):
     enable_x64()

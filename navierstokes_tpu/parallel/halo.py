@@ -210,6 +210,7 @@ class HaloCellOperator:
     """
 
     def __init__(self, space: TaylorHoodSpace, mesh: Mesh, axis="shard"):
+        config.ensure_accurate_matmuls()
         self.space = space
         self.mesh = mesh
         self.axis = axis

@@ -117,6 +117,7 @@ class ShardedCellOperator:
 
     def __init__(self, space: TaylorHoodSpace, mesh: Mesh, axis="shard",
                  use_pallas=None):
+        config.ensure_accurate_matmuls()
         self.space = space
         self.mesh = mesh
         self.axis = axis

@@ -44,14 +44,15 @@ def test_dfg_2d1_steady_drag_lift():
     assert abs(c_d - 5.58) < 0.05, c_d          # lit: 5.57-5.59
     assert abs(c_l - 0.0107) < 0.002, c_l       # lit: 0.0104-0.0110
 
-    # pressure difference front/back of the cylinder
-    from scipy.spatial import cKDTree
-
+    # pressure difference front/back of the cylinder, evaluated AT the
+    # stagnation points (exact FE interpolation; with the curved mesh both
+    # are vertices).  Full convergence into [2.93, 2.94] needs ~50k DoF
+    # (docs/VALIDATION.md: 2.9360 at 51k, 2.9329 at 100k); this coarse
+    # 10k-DoF config is tested with matching slack.
     u, p = solver.space.split(solver.solution)
-    tree = cKDTree(solver.space.p_coords)
-    _, front = tree.query([1.5, 2.0])
-    _, back = tree.query([2.5, 2.0])
-    dp = float(p[front] - p[back])
+    vals = solver.space.eval_pressure(np.asarray(p),
+                                      [[1.5, 2.0], [2.5, 2.0]])
+    dp = float(vals[0] - vals[1])
     assert abs(dp - 2.935) < 0.06, dp           # lit: 2.93-2.94
 
     # the direct traction integral is consistent but first-order accurate
