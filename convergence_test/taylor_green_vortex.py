@@ -7,8 +7,10 @@ analytic decay exp(-2 gamma^2 t / Re) at t = 1, loglog plot to PDF.
 Expected: BDF-2 slope ~2 until the spatial error floor.
 
 Usage: python convergence_test/taylor_green_vortex.py [n_points] [levels]
-(reference default is n_points=128; smaller meshes reach the spatial floor
-sooner but run in minutes on CPU).
+(default n_points=128 matches the reference; a third argument selects the
+solver: "bdf" = monolithic BDF-2 like the reference study, "projection" =
+the fused/spectral projection path, which runs the full 128^2 sweep in
+seconds).
 """
 import sys
 
@@ -19,7 +21,8 @@ from navierstokes_tpu.fem.spaces import axis_periodic
 from navierstokes_tpu.mesh import HyperCubeBoundaryMarkers, hyper_cube
 from navierstokes_tpu.problems import (EquationCoefficientHandler,
                                        InstationaryProblem)
-from navierstokes_tpu.solvers import ImplicitBDFSolver
+from navierstokes_tpu.solvers import (ImplicitBDFSolver,
+                                      ProjectionSolver)
 
 M = HyperCubeBoundaryMarkers
 GAMMA = 2.0 * np.pi
@@ -40,7 +43,7 @@ def exact_pressure(x, t):
 
 
 class TaylorGreenVortex(InstationaryProblem):
-    def __init__(self, time_step, n_points):
+    def __init__(self, time_step, n_points, solver_class=ImplicitBDFSolver):
         super().__init__(start_time=0.0, end_time=1.0,
                          desired_start_time_step=time_step,
                          n_max_steps=100000)
@@ -49,7 +52,7 @@ class TaylorGreenVortex(InstationaryProblem):
         self._n_points = n_points
         self._output_frequency = 0
         self._postprocessing_frequency = 0
-        self.set_solver_class(ImplicitBDFSolver)
+        self.set_solver_class(solver_class)
 
     def setup_mesh(self):
         self._mesh, self._boundary_markers = hyper_cube(2, self._n_points)
@@ -82,11 +85,13 @@ class TaylorGreenVortex(InstationaryProblem):
         return err_u, err_p
 
 
-def main(n_points=32, levels=6):
+def main(n_points=128, levels=6, solver="bdf"):
+    solver_class = {"bdf": ImplicitBDFSolver,
+                    "projection": ProjectionSolver}[solver]
     time_steps, u_errors, p_errors = [], [], []
     for i in range(levels):
         dt = 1.0 * 0.5 ** i
-        problem = TaylorGreenVortex(dt, n_points)
+        problem = TaylorGreenVortex(dt, n_points, solver_class)
         problem.solve_problem()
         err_u, err_p = problem.compute_errors()
         time_steps.append(dt)
@@ -122,6 +127,7 @@ def main(n_points=32, levels=6):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     levels = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    main(n, levels)
+    solver = sys.argv[3] if len(sys.argv) > 3 else "bdf"
+    main(n, levels, solver)
