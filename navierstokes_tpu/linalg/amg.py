@@ -216,6 +216,35 @@ def pressure_laplacian_scipy(space, *, mass_shift=0.0, dirichlet_dofs=None):
     return A
 
 
+def velocity_stiffness_scipy(space, *, mass_shift=0.0, dirichlet_dofs=None):
+    """Scalar P2 stiffness (+shift*mass) as host scipy CSR (float64).
+
+    One velocity component's diffusion operator: the AMG built on it
+    preconditions the PCD velocity block component-wise (fixed Jacobi
+    sweeps degrade as O(1/h); this keeps the block solve h-independent).
+    ``dirichlet_dofs``: scalar u-node ranks to pin symmetrically.
+    """
+    import scipy.sparse as sp
+
+    Jinv = np.asarray(space.Jinv_q, dtype=np.float64)
+    W = np.asarray(space.integration_weights(), dtype=np.float64)
+    G2 = np.asarray(space.G2, dtype=np.float64)
+    g2 = np.einsum("qia,cqae->cqie", G2, Jinv)
+    K_c = np.einsum("cq,cqie,cqje->cij", W, g2, g2)
+    if mass_shift:
+        N2 = np.asarray(space.N2, dtype=np.float64)
+        K_c = K_c + mass_shift * np.einsum("cq,qi,qj->cij", W, N2, N2)
+    cd = np.asarray(space.cell_unodes, dtype=np.int64)
+    nloc = cd.shape[1]
+    rows = np.repeat(cd, nloc, axis=1).reshape(-1)
+    cols = np.tile(cd, (1, nloc)).reshape(-1)
+    n = space.n_unodes
+    A = sp.csr_matrix((K_c.reshape(-1), (rows, cols)), shape=(n, n))
+    if dirichlet_dofs is not None and len(dirichlet_dofs):
+        A = symmetric_dirichlet(A, dirichlet_dofs)
+    return A
+
+
 def pressure_mass_scipy(space):
     import scipy.sparse as sp
 

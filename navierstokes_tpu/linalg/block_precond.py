@@ -141,7 +141,8 @@ class MatrixFreePCD:
     """
 
     def __init__(self, mixed_op: MixedOperator, *, f_iters=15, mp_iters=5,
-                 restart=40, max_cycles=10, amg_kwargs=None):
+                 restart=40, max_cycles=10, helmholtz_shift=0.0,
+                 amg_kwargs=None):
         from navierstokes_tpu.linalg.amg import (AMG,
                                                  pressure_laplacian_scipy)
 
@@ -193,6 +194,18 @@ class MatrixFreePCD:
         self.dm_u = jnp.repeat(dm, self.dim)
         self.dk_u = jnp.repeat(dk, self.dim)
 
+        # component-wise AMG on the scalar P2 stiffness: the velocity-block
+        # inner solve with plain Jacobi degrades as O(1/h) and stalled the
+        # 64^2+ Newton iterations; one V-cycle per GMRES iteration keeps it
+        # h-independent.  ``helmholtz_shift`` ~ accel0/cv folds a reaction
+        # term into the hierarchy for transient systems.
+        from navierstokes_tpu.linalg.amg import velocity_stiffness_scipy
+
+        u_bc_nodes = np.unique(u_bc // space.dim)
+        Ku = velocity_stiffness_scipy(space, mass_shift=helmholtz_shift,
+                                      dirichlet_dofs=u_bc_nodes)
+        self.amg_u = AMG(Ku, **(amg_kwargs or {}))
+
         self._solvers = {}
 
     # -- preconditioner application (jittable) -------------------------------
@@ -224,19 +237,25 @@ class MatrixFreePCD:
         zeros_p = jnp.zeros(self.n_p, dtype=r.dtype)
         rhs_u = r_u - Jmv(jnp.concatenate([zeros_u, z_p]))[:n_u]
 
-        diagF = accel0 * self.dm_u + scalars["cv"] * self.dk_u
-        diagF = jnp.where(self.u_free > 0.0, diagF, 1.0)
-        Minv = 1.0 / diagF
-
         def F_apply(v):
             return Jmv(jnp.concatenate([v, zeros_p]))[:n_u]
+
+        # component-wise AMG V-cycle on the diffusion part, scaled by 1/cv
+        # (F ~ cv * (K + (accel0/cv) M)); constrained dofs pass through
+        def M_u(v):
+            vn = v.reshape(-1, self.dim)
+            import jax
+
+            z = jax.vmap(self.amg_u.apply, in_axes=1, out_axes=1)(vn)
+            z = (z / scalars["cv"]).reshape(-1)
+            return self.u_free * z + (1.0 - self.u_free) * v
 
         # one GMRES(f_iters) sweep: breakdown-free, unlike BiCGStab, whose
         # rho/omega divisions blow up on rough inputs (observed: the
         # BiCGStab variant turned ~4% of preconditioner columns into NaNs
         # and stalled the outer FGMRES at 1e-2)
         z_u, _ = gmres(F_apply, rhs_u, tol=0.0, atol=0.0, maxiter=1,
-                       restart=self.f_iters, M=lambda v: Minv * v)
+                       restart=self.f_iters, M=M_u)
         z_u = self.u_free * z_u + (1.0 - self.u_free) * rhs_u
         return jnp.concatenate([z_u, z_p])
 
