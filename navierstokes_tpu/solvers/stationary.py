@@ -71,9 +71,22 @@ def pcd_linear_solve(solver, operator, space, x, scalars, source_q, rhs,
     """
     from navierstokes_tpu.linalg.block_precond import MatrixFreePCD
 
+    # the velocity-block AMG hierarchy folds a reaction shift ~ accel0/cv
+    # into the scalar stiffness; rebuild (host-side, once) when the ratio
+    # drifts by more than ~2x (transient steps with changing dt)
+    import math as _math
+
+    accel0 = float(scalars.get("accel0", 0.0) or 0.0)
+    shift = accel0 / float(scalars["cv"])
+    bucket = (-1 if shift <= 0.0
+              else int(round(_math.log2(max(shift, 1e-30)))))
     ctx = getattr(solver, "_pcd_ctx", None)
-    if ctx is None or ctx.op is not operator:
-        ctx = MatrixFreePCD(operator)
+    if ctx is None or ctx.op is not operator \
+            or getattr(ctx, "_shift_bucket", -1) != bucket:
+        ctx = MatrixFreePCD(operator,
+                            helmholtz_shift=0.0 if bucket < 0
+                            else 2.0 ** bucket)
+        ctx._shift_bucket = bucket
         solver._pcd_ctx = ctx
     # inexact-Newton forcing: Picard steps only need coarse updates; Newton
     # steps get eta = 1e-6 relative (enough to preserve the outer
