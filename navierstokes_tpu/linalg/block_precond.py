@@ -141,8 +141,12 @@ class MatrixFreePCD:
     """
 
     def __init__(self, mixed_op: MixedOperator, *, f_iters=15, mp_iters=5,
-                 restart=40, max_cycles=10, helmholtz_shift=0.0,
+                 restart=80, max_cycles=6, helmholtz_shift=0.0,
                  amg_kwargs=None):
+        # restart=80: GMRES(40) stagnates on convective Newton systems
+        # from Re ~ 200 (measured: restart-40 parks at 2.6e-2 forever at
+        # Re=215/32^2 while restart-80 converges to 7e-9 in 238 its);
+        # basis memory is 2*81*n, e.g. ~100 MB at 150k dofs in f32.
         from navierstokes_tpu.linalg.amg import (AMG,
                                                  pressure_laplacian_scipy)
 
@@ -267,21 +271,29 @@ class MatrixFreePCD:
 
         op = self.op
 
-        def impl(x, rhs, scalars, source_q, tol, atol):
+        def impl(x, rhs, x0, scalars, source_q, tol, atol, max_cycles):
             _, jvp = op.linearize_at(x, scalars, source_q, picard=picard)
             u, _ = op.split(x)
             u_q = op.u_at_quad(u)
             M = lambda r: self._apply(r, jvp, u_q, scalars)
-            return fgmres_device(jvp, M, rhs, restart=self.restart,
+            return fgmres_device(jvp, M, rhs, x0=x0, restart=self.restart,
                                  tol=tol, atol=atol,
-                                 max_cycles=self.max_cycles)
+                                 max_cycles=max_cycles)
 
-        return jax.jit(impl)
+        return jax.jit(impl, static_argnames=("max_cycles",))
 
     def solve(self, x, rhs, scalars, source_q=0.0, *, picard=False,
-              tol=1e-10, atol=1e-12):
-        """Solve J(x) dx = rhs; returns (dx, residual_norm, matvecs)."""
+              tol=1e-10, atol=1e-12, x0=None, max_cycles=None):
+        """Solve J(x) dx = rhs; returns (dx, residual_norm, matvecs).
+
+        ``max_cycles`` overrides the per-call restart-cycle budget (e.g.
+        1 to drive the cycles from the host -- useful over device tunnels
+        that dislike minutes-long single programs); ``x0`` warm-starts.
+        """
         key = (bool(picard), np.ndim(source_q) == 3)
         if key not in self._solvers:
             self._solvers[key] = self._build_solver(*key)
-        return self._solvers[key](x, rhs, scalars, source_q, tol, atol)
+        if x0 is None:
+            x0 = jnp.zeros_like(rhs)
+        return self._solvers[key](x, rhs, x0, scalars, source_q, tol, atol,
+                                  max_cycles or self.max_cycles)

@@ -216,6 +216,101 @@ class StationarySolverBase(SolverBase):
         self._store_residual_context(scalars, source_q, extra_ru)
         assert residual <= self._tol, "Newton iteration did not converge."
 
+    def solve_ptc(self, tol=None, sigma0=20.0, sigma_min=1e-3,
+                  maxiter=200, lin_tol=1e-3):
+        """Pseudo-transient continuation (SER): the robust high-Re path.
+
+        PCD preconditioning of the *steady* Newton operator degrades with
+        convection (restarted GMRES stagnates at Re >~ 200 regardless of
+        restart length), but the mass-shifted operator J + sigma M is
+        parabolic-like and solves in O(100) preconditioned iterations at
+        any Reynolds number.  PTC iterates
+
+            (sigma_k M + J(x_k)) dx = -F(x_k),   x += dx,
+
+        shrinking sigma_k by the switched-evolution-relaxation rule
+        sigma_{k+1} = sigma_k * ||F_k|| / ||F_{k-1}|| (clamped), which
+        recovers Newton as sigma -> 0 while every linear system stays
+        well-preconditioned.  Replaces the reference's reliance on direct
+        LU robustness (ns_solver_base.py:938) where the Schur
+        preconditioner alone cannot deliver the 1e-10 contract.
+
+        Measured behavior (cavity 32^2, cold start at Re=1000, where
+        plain Newton+PCD diverges and even unrestarted GMRES(480) on the
+        Newton system stalls at 0.3 relative): PTC descends monotonically
+        to ~2e-4 in ~20 steps, then converges linearly with rate tied to
+        the sigma floor -- use it as the robust globalization/initializer
+        and finish with Newton on resolved meshes (cell Peclet <~ 2),
+        where the Newton systems are solvable again.
+        """
+        from navierstokes_tpu.linalg.block_precond import MatrixFreePCD
+
+        if self._solution is None:
+            self._setup_problem()
+        if tol is None:
+            tol = self._tol
+
+        op = self._operator
+        scalars = self._scalars()
+        source_q = self._momentum_source()
+        bc_values = self._bc_values()
+        extra_ru = self._traction_extra_ru()
+        x = self._apply_bc_values_to_x(self._solution)
+
+        def res_norm(xv):
+            return float(jnp.linalg.norm(
+                op.residual(xv, bc_values, scalars, source_q, extra_ru)))
+
+        import math as _math
+        import time as _time
+
+        t0 = _time.perf_counter()
+        res = res_norm(x)
+        res_prev = res
+        sigma = sigma0
+        n_lin_total = 0
+        # ONE preconditioner context for the whole PTC sweep: sigma enters
+        # the solve as a traced scalar (no recompiles); the velocity AMG
+        # hierarchy is built once at the geometric mean of the sigma range
+        # (mass shifts only improve conditioning, so one hierarchy covers
+        # the sweep)
+        shift0 = _math.sqrt(sigma0 * sigma_min) / float(scalars["cv"])
+        ctx = getattr(self, "_pcd_ctx", None)
+        if ctx is None or ctx.op is not op or \
+                getattr(ctx, "_shift_bucket", None) != ("ptc", sigma0):
+            ctx = MatrixFreePCD(op, helmholtz_shift=shift0)
+            ctx._shift_bucket = ("ptc", sigma0)
+            self._pcd_ctx = ctx
+        for k in range(maxiter):
+            if res <= tol:
+                break
+            r = op.residual(x, bc_values, scalars, source_q, extra_ru)
+            scal_j = dict(scalars)
+            scal_j["accel0"] = sigma
+            dx, lres, its = ctx.solve(x, -r, scal_j, source_q,
+                                      picard=False, tol=lin_tol,
+                                      atol=0.01 * tol)
+            n_lin_total += int(its)
+            x_new = x + dx
+            res_new = res_norm(x_new)
+            print(f"PTC step {k}: ||F|| = {res_new:.3e} "
+                  f"(sigma {sigma:.2e}, {int(its)} lin its)")
+            if res_new < res or sigma >= 0.25 * sigma0:
+                # accept; SER shrink (clamped to x4 decrease per step)
+                x = x_new
+                res_prev, res = res, res_new
+                sigma = max(sigma * max(res / max(res_prev, 1e-300), 0.25),
+                            sigma_min)
+            else:
+                sigma = min(4.0 * sigma, 1e6)   # reject: strengthen mass
+        self.monitor.record("nonlinear_solve", phase="ptc",
+                            iterations=k, residual=res,
+                            linear_iterations=n_lin_total,
+                            seconds=_time.perf_counter() - t0)
+        self._solution = x
+        self._store_residual_context(scalars, source_q, extra_ru)
+        assert res <= tol, f"PTC did not converge: {res:.3e}"
+
     def solve_refined(self, tol=1.0e-10, maxiter=30):
         """Mixed-precision solve: f32 device Krylov + f64 host residual.
 
