@@ -127,9 +127,10 @@ class MatrixFreePCD:
       provides the matvec (one residual-like sweep per application);
     - the pressure-Laplacian solve is an AMG V-cycle (h-independent
       quality; ``linalg/amg.py``) instead of a fixed CG sweep;
-    - Mp^{-1} is the lumped-mass inverse (spectrally equivalent);
-    - the velocity block runs Jacobi-preconditioned BiCGStab sweeps with
-      diag(F) ~= accel0*diag(M) + nu*diag(K);
+    - Mp^{-1} is a short lumped-preconditioned CG on the consistent mass;
+    - the velocity block runs one GMRES(f_iters) sweep preconditioned by
+      a component-wise AMG V-cycle on the scalar P2 stiffness (optionally
+      mass-shifted via ``helmholtz_shift`` ~ accel0/cv);
     - the whole linear solve (linearization, preconditioner, flexible
       GMRES) is ONE jitted XLA program per (picard,) flag -- no per-Newton
       retracing, no host round-trips inside the Krylov loop.
