@@ -113,3 +113,14 @@ def test_matrix_free_pcd_newton_system():
     J = op.jacobian_csr(x, scalars, 0.0, picard=False)
     check = float(jnp.linalg.norm(J.matvec(dx) - b))
     assert check <= 1e-6 * float(jnp.linalg.norm(b)), check
+
+
+def test_matrix_free_pcd_full_contract_moderate_re():
+    """End-to-end 1e-10 contract through the matrix-free path at a
+    convective Reynolds number (restart-80 regime: GMRES(40) stagnates
+    here).  Small enough for CI; the at-scale runs are in
+    docs/VALIDATION.md."""
+    s = _cavity_solver(24, 150.0, linear_solver="pcd")
+    s.solve()
+    recs = [r for r in s.monitor.records if r["kind"] == "nonlinear_solve"]
+    assert recs[-1]["residual"] <= 1e-10
