@@ -202,8 +202,18 @@ class StationarySolverBase(SolverBase):
                 break
             dx = self._linear_step(x, scalars, source_q, bc_values, extra_ru,
                                    picard=False)
-            x = x + dx
-            residual = residual_norm(x)
+            # backtracking guard: an inexact (iterative) linear solve can
+            # overshoot where the reference's exact LU step never does --
+            # halve the step until the residual decreases (full steps are
+            # taken whenever they work, preserving quadratic convergence)
+            step = 1.0
+            for _bt in range(5):
+                trial = residual_norm(x + step * dx)
+                if trial < residual or step < 0.1:
+                    break
+                step *= 0.5
+            x = x + step * dx
+            residual = trial
             newton_its += 1
 
         self.monitor.record("nonlinear_solve", phase="picard+newton",
