@@ -200,17 +200,30 @@ class SolverBase:
         bc_dofs = self._dirichlet.dofs
         # pressure nullspace: a constant pressure mode exists iff the test
         # space carries no normal velocity anywhere on the boundary (fully
-        # enclosed/periodic flow) and no pressure Dirichlet BC is set.  Then
-        # one pressure dof is pinned for a deterministic solve (the
-        # reference leans on LU pivoting luck there) and mean-value shifts
-        # happen afterwards where requested.
+        # enclosed/periodic flow) and no pressure Dirichlet BC is set.
+        #
+        # Direct (dense/LU) solves pin one pressure dof for a nonsingular
+        # matrix (the reference leans on LU pivoting luck there).  The
+        # matrix-free Krylov path must NOT pin: replacing one continuity
+        # equation makes the pinned direction ill-conditioned as O(N) --
+        # float32 round-off then parks residual exactly there and the
+        # preconditioned Krylov cannot remove it (measured: refinement
+        # stalls with lres = 0.9999).  Instead the singular-but-consistent
+        # system is solved in the mean-free pressure subspace (the PCD
+        # preconditioner projects; compatibility sum(r_p) = -flux(BC) = 0
+        # keeps the null direction empty) and the pressure is gauged to
+        # p[gauge] = 0 after the solve.
         self._pressure_pin_dof = None
+        self._pressure_gauge_dof = None
         if not any(bc[0] in (PressureBCType.constant, PressureBCType.function)
                    for bc in self._pressure_bcs) \
                 and self._boundary_fully_normal_constrained():
-            self._pressure_pin_dof = int(self._space.pressure_offset)
-            bc_dofs = np.unique(np.concatenate(
-                [bc_dofs, [self._pressure_pin_dof]])).astype(np.int32)
+            gauge = int(self._space.pressure_offset)
+            self._pressure_gauge_dof = gauge
+            if self._resolved_linear_mode() != "pcd":
+                self._pressure_pin_dof = gauge
+                bc_dofs = np.unique(np.concatenate(
+                    [bc_dofs, [gauge]])).astype(np.int32)
         self._bc_dofs_all = bc_dofs
         self._operator.set_bc_dofs(bc_dofs)
 
@@ -232,6 +245,24 @@ class SolverBase:
                 dict(batch=dev, x=batch["x"], value=value,
                      component=component,
                      time_dependent=callable(value)))
+
+    def _resolved_linear_mode(self) -> str:
+        """The linear-solver mode this solver will actually use."""
+        mode = getattr(self, "_linear_solver", None)
+        if mode is not None:
+            return mode
+        from navierstokes_tpu.solvers.stationary import auto_linear_mode
+
+        return auto_linear_mode(self._space.n_dofs)
+
+    def _gauge_pressure(self, x):
+        """Shift the pressure so p[gauge] = 0 (enclosed, unpinned path)."""
+        if self._pressure_gauge_dof is None or \
+                self._pressure_pin_dof is not None:
+            return x
+        g = x[self._pressure_gauge_dof]
+        n_u = self._space.n_velocity_dofs
+        return jnp.concatenate([x[:n_u], x[n_u:] - g])
 
     def _boundary_fully_normal_constrained(self) -> bool:
         """True if every exterior boundary id constrains the normal velocity

@@ -222,7 +222,7 @@ class StationarySolverBase(SolverBase):
                             newton_iterations=newton_its,
                             initial_residual=res0, residual=residual,
                             seconds=_time.perf_counter() - t0)
-        self._solution = x
+        self._solution = self._gauge_pressure(x)
         self._store_residual_context(scalars, source_q, extra_ru)
         assert residual <= self._tol, "Newton iteration did not converge."
 
@@ -317,7 +317,7 @@ class StationarySolverBase(SolverBase):
                             iterations=k, residual=res,
                             linear_iterations=n_lin_total,
                             seconds=_time.perf_counter() - t0)
-        self._solution = x
+        self._solution = self._gauge_pressure(x)
         self._store_residual_context(scalars, source_q, extra_ru)
         assert res <= tol, f"PTC did not converge: {res:.3e}"
 
@@ -390,6 +390,9 @@ class StationarySolverBase(SolverBase):
             seconds=_time.perf_counter() - t0)
         assert history[-1] <= tol, \
             f"refinement stalled at ||F|| = {history[-1]:.3e}"
+        if self._pressure_gauge_dof is not None and \
+                self._pressure_pin_dof is None:
+            x[self._space.n_velocity_dofs:] -= x[self._pressure_gauge_dof]
         self.solution_f64 = x
         self._solution = jnp.asarray(x, dtype=dtype_dev)
         return x
