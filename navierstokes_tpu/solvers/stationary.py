@@ -378,11 +378,13 @@ class StationarySolverBase(SolverBase):
             history.append(rn)
             if rn <= tol:
                 break
+            # normalize the correction solve: keeps the f32 Krylov in a
+            # healthy dynamic range regardless of how small ||F|| gets
             dx, _, _ = ctx.solve(
                 jnp.asarray(x, dtype=dtype_dev),
-                jnp.asarray(-r, dtype=dtype_dev),
+                jnp.asarray(-r / rn, dtype=dtype_dev),
                 scalars, source_q, picard=False, tol=1e-4, atol=0.0)
-            x = x + _np.asarray(dx, dtype=_np.float64)
+            x = x + rn * _np.asarray(dx, dtype=_np.float64)
 
         self.monitor.record(
             "mixed_precision_refinement", iterations=len(history) - 1,
