@@ -64,3 +64,56 @@ def test_solve_refined_reaches_f64_contract():
     recs = [r_ for r_ in s.monitor.records
             if r_["kind"] == "mixed_precision_refinement"]
     assert recs and recs[-1]["residual"] <= 1e-10
+
+
+def test_refinement_in_true_f32_process():
+    """The full mixed-precision path under float32 device numerics.
+
+    Runs in a subprocess WITHOUT x64 (the in-suite tests run f64, where
+    refinement is trivially exact).  Guards the round-2 fix chain: the
+    unpinned mean-free formulation (a pinned pressure dof parks f32
+    round-off in an O(N)-ill-conditioned direction and refinement stalls
+    with lres = 0.9999) and the normalized correction solves.
+    """
+    import subprocess
+    import sys
+
+    code = r"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np, jax.numpy as jnp
+from navierstokes_tpu.fem.bcs import VelocityBCType
+from navierstokes_tpu.mesh import HyperCubeBoundaryMarkers as M
+from navierstokes_tpu.mesh import hyper_cube
+from navierstokes_tpu.solvers import StationarySolver
+from navierstokes_tpu.assembly.host_reference import residual_f64
+
+mesh, markers = hyper_cube(2, 16)
+s = StationarySolver(mesh, markers, linear_solver='pcd')
+s.set_boundary_conditions(
+    ((VelocityBCType.no_slip, M.left.value, None),
+     (VelocityBCType.no_slip, M.right.value, None),
+     (VelocityBCType.no_slip, M.bottom.value, None),
+     (VelocityBCType.constant, M.top.value, (1.0, 0.0))))
+s.set_equation_coefficients(
+    {'convective_term': 1.0, 'viscous_term': 1.0 / 100.0,
+     'pressure_term': 1.0, 'coriolis_term': None, 'euler_term': None,
+     'body_force_term': None})
+assert s._solution is None
+x64 = s.solve_refined(tol=1e-10, maxiter=25)
+assert x64.dtype == np.float64
+r = residual_f64(s.space, x64, s._bc_dofs_all,
+                 np.asarray(s._bc_values(), dtype=np.float64), s._scalars())
+rn = float(np.linalg.norm(r))
+assert rn <= 1e-10, rn
+print('F32-REFINEMENT-OK', rn)
+"""
+    import os
+
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    env["XLA_FLAGS"] = ""
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert "F32-REFINEMENT-OK" in out.stdout, (out.stdout[-2000:],
+                                               out.stderr[-2000:])
