@@ -6,19 +6,29 @@ metric.  The configuration matches the reference's accuracy north-star
 (Taylor-Green, Re=100, periodic Taylor-Hood P2/P1,
 convergence_test/taylor_green_vortex.py) on a 128^2 mesh (~148k DoF).
 
-Default path: the structured class-grid fast path
-(navierstokes_tpu/structured/) -- stencil convection assembly plus *exact*
-DFT block-diagonal solves (machine-precision Helmholtz/Poisson/mass
-solves, strictly more accurate than the reference's per-step contract).
-``NS_BENCH_PATH=generic`` benches the unstructured gather/scatter path
-instead (any-mesh capable, what DFG runs on).
+BOTH hot paths are measured every run (round-2 verdict: the structured
+number alone hid a generic-path regression):
+
+* ``structured`` -- the class-grid spectral fast path
+  (navierstokes_tpu/structured/): stencil convection assembly plus exact
+  DFT block-diagonal solves.  Only valid on doubly-periodic structured
+  grids.
+* ``generic``   -- the any-mesh engine (assembly/fastop.py): assembled
+  scalar operators in gather-free band formats (circulant rolls /
+  affine block-windows) driving Jacobi-CG solves
+  (solvers/planar_step.py).  This is what DFG/channel/cavity-class
+  problems run on.
+
+``NS_BENCH_PATH`` selects which is the primary metric (default
+``structured``); the other is reported in the same JSON line under
+``"paths"``.
 
 The reference publishes no throughput numbers (no benchmarks/ directory,
 no timing code; see SURVEY.md par.6).  ``BASELINE_DOF_STEPS_PER_SEC`` is
 the documented proxy: FEniCS assembly + sparse-direct solves on a
 workstation CPU sustain O(0.5s)/step at this size, i.e. ~3e5 DoF-steps/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "paths"}.
 """
 
 import json
@@ -35,6 +45,20 @@ RE = 100.0
 DT = 1.0e-3
 
 
+def _sync(x):
+    """Force execution (block_until_ready alone does not block on the
+    tunneled device runtime; a value readback does)."""
+    return float(np.asarray(x.sum()))
+
+
+def _coeffs(dtype):
+    import jax.numpy as jnp
+
+    one = lambda v: jnp.asarray(v, dtype)
+    return ((one(1.0), one(-1.0), one(0.0)), (one(1.5), one(-2.0), one(0.5)),
+            (one(1.0), one(0.0)), (one(2.0), one(-1.0)))
+
+
 def _bench_structured(space, u0, p0):
     import jax
     import jax.numpy as jnp
@@ -49,44 +73,38 @@ def _bench_structured(space, u0, p0):
         sgrid, visc=1.0 / RE, dt=DT, dtype=dtype)
 
     state = jax.device_put(init_state(u0.reshape(-1), u0.reshape(-1), p0))
-    one = lambda v: jnp.asarray(v, dtype)
-    alpha1 = (one(1.0), one(-1.0), one(0.0))
-    alpha2 = (one(1.5), one(-2.0), one(0.5))
-    eta1 = (one(1.0), one(0.0))
-    eta2 = (one(2.0), one(-1.0))
+    alpha1, alpha2, eta1, eta2 = _coeffs(dtype)
 
     state = step(state, alpha1, eta1)
     for _ in range(3):
         state = step(state, alpha2, eta2)
-    jax.block_until_ready(state[0])
+    _sync(state[0])
 
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         state = step(state, alpha2, eta2)
-    jax.block_until_ready(state[0])
+    _sync(state[0])
     elapsed = time.perf_counter() - t0
     finite = bool(jnp.all(jnp.isfinite(state[0])))
-    return elapsed, finite, "spectral-structured"
+    return elapsed, finite
 
 
 def _bench_generic(space, u0, p0):
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_step
-    from navierstokes_tpu.parallel.sharded import device_mesh
+    from navierstokes_tpu.assembly.fastop import FastTaylorHood
+    from navierstokes_tpu.solvers.planar_step import \
+        build_planar_projection_step
 
-    step = _build_step(space, device_mesh(1), dt=DT, visc=1.0 / RE,
-                       cg_iters=(10, 30, 6))
     dtype = jnp.float64 if jax.config.read("jax_enable_x64") \
         else jnp.float32
-    u = jax.device_put(jnp.asarray(u0.reshape(-1), dtype=dtype))
-    p = jax.device_put(jnp.asarray(p0, dtype=dtype))
-    one = lambda v: jnp.asarray(v, dtype)
-    alpha1 = (one(1.0), one(-1.0), one(0.0))
-    alpha2 = (one(1.5), one(-2.0), one(0.5))
-    eta1 = (one(1.0), one(0.0))
-    eta2 = (one(2.0), one(-1.0))
+    fast = FastTaylorHood(space)
+    step = build_planar_projection_step(fast, visc=1.0 / RE, dt=DT,
+                                        cg_iters=(10, 60, 6))
+    u = fast.permute_velocity(jnp.asarray(u0.T, dtype))
+    p = fast.permute_pressure(jnp.asarray(p0, dtype))
+    alpha1, alpha2, eta1, eta2 = _coeffs(dtype)
 
     phi = jnp.zeros_like(p)
     u_old = u
@@ -95,16 +113,16 @@ def _bench_generic(space, u0, p0):
     for _ in range(3):
         u_new, p, phi = step(u, u_old, p, phi, alpha2, eta2)
         u_old, u = u, u_new
-    jax.block_until_ready(u)
+    _sync(u)
 
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         u_new, p, phi = step(u, u_old, p, phi, alpha2, eta2)
         u_old, u = u, u_new
-    jax.block_until_ready(u)
+    _sync(u)
     elapsed = time.perf_counter() - t0
     finite = bool(jnp.all(jnp.isfinite(u)))
-    return elapsed, finite, "generic-unstructured"
+    return elapsed, finite
 
 
 def main():
@@ -114,18 +132,26 @@ def main():
     if PATH not in ("structured", "generic"):
         raise SystemExit(f"NS_BENCH_PATH={PATH!r}: expected 'structured' "
                          "or 'generic'")
-    bench = _bench_structured if PATH == "structured" else _bench_generic
-    elapsed, finite, label = bench(space, u0, p0)
 
-    steps_per_sec = N_STEPS / elapsed if finite else 0.0
-    value = steps_per_sec * space.n_dofs
+    results = {}
+    for name, bench in (("structured", _bench_structured),
+                        ("generic", _bench_generic)):
+        try:
+            elapsed, finite = bench(space, u0, p0)
+            rate = (N_STEPS / elapsed) * space.n_dofs if finite else 0.0
+        except Exception as exc:  # a broken path must read as 0, not crash
+            rate = 0.0
+            results[name + "_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        results[name] = round(rate, 1)
 
+    value = results[PATH]
     print(json.dumps({
         "metric": "DoF-steps/sec (assembly+solve, Taylor-Green "
-                  f"{N_POINTS}x{N_POINTS} SBDF2 projection, {label})",
-        "value": round(value, 1),
+                  f"{N_POINTS}x{N_POINTS} SBDF2 projection, {PATH})",
+        "value": value,
         "unit": "dof*steps/s",
         "vs_baseline": round(value / BASELINE_DOF_STEPS_PER_SEC, 3),
+        "paths": results,
     }))
 
 

@@ -1,0 +1,532 @@
+"""Gather-free assembled-operator engine (the generic TPU hot path).
+
+Replaces the per-cell gather/scatter matvecs of ``parallel/sharded.py``
+(XLA lowers scalar gathers on TPU to a serial ~7.4 ns/element loop --
+measured in round 3; a 128^2 matvec spent ~2.2 ms moving ~2 MB) with
+*assembled* scalar operators in one of two gather-free device formats,
+selected per matrix from the data:
+
+* ``CirculantBand`` -- if, under a lexicographic node ordering, the set of
+  nonzero offsets ``(col - row) mod N`` is small (structured generators:
+  P2 stiffness has 29 offsets on a 2D torus, P1 Laplacian 9), store a
+  dense band ``(n_offsets, N)`` and apply with ``jnp.roll`` + fused
+  multiply-adds: pure VPU/HBM streaming, no gathers, periodic wrap free.
+* ``AffineBand`` -- otherwise (gmsh meshes, rectangular velocity/pressure
+  couplings), a block-window band: rows in blocks of 128, each block's
+  columns inside a window whose start is affine in the block index
+  (ordering from reverse Cuthill-McKee keeps windows narrow).  The window
+  slices are *static* (stride = round(RB * n_cols / n_rows)), so the
+  apply is window construction by reshape/static-slice plus one batched
+  dense mat-vec on the MXU -- streams the band at HBM speed.
+
+Assembly runs entirely host-side in NumPy/SciPy f64 (the round-2 setup
+spent ~350 s in six device->host readbacks over the device tunnel; this
+path performs zero device readbacks).
+
+Reference counterpart: the per-step ``SystemAssembler`` assembly + PETSc
+solves of /root/reference/source/ns_solver_base.py:972-983 and the IPCS
+sub-solves of ns_ipcs_solver.py:149-208 -- here the "assembly" happens
+once on the host and each solver iteration is a fused XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from navierstokes_tpu import config
+
+RB = 128  # rows per block in AffineBand (TPU lane width)
+
+
+# ---------------------------------------------------------------------------
+# host-side scalar element matrices and CSR assembly
+# ---------------------------------------------------------------------------
+
+def scalar_element_matrices(space):
+    """Per-cell scalar P2/P1 element matrices (host f64).
+
+    Returns dict with
+      M2 (nc, 6, 6)   P2 mass,
+      K2 (nc, 6, 6)   P2 stiffness,
+      L1 (nc, 3, 3)   P1 stiffness,
+      G  (nc, 6, d, 3)  pressure-gradient coupling
+                        G[c, i, d, j] = -int N1_j dN2_i/dx_d.
+    """
+    W = np.asarray(space.integration_weights(), dtype=np.float64)
+    N2 = np.asarray(space.N2, dtype=np.float64)
+    N1 = np.asarray(space.N1, dtype=np.float64)
+    Jinv_q = np.asarray(space.Jinv_q, dtype=np.float64)
+    g2 = np.einsum("qia,cqae->cqie", np.asarray(space.G2, np.float64), Jinv_q)
+    g1 = np.einsum("qja,cqae->cqje", np.asarray(space.G1, np.float64), Jinv_q)
+    return {
+        "M2": np.einsum("cq,qi,qj->cij", W, N2, N2),
+        "K2": np.einsum("cq,cqie,cqje->cij", W, g2, g2),
+        "L1": np.einsum("cq,cqje,cqke->cjk", W, g1, g1),
+        "G": -np.einsum("cq,qj,cqid->cidj", W, N1, g2),
+    }
+
+
+def assemble_csr(vals, rows_nodes, cols_nodes, shape):
+    """Scatter per-cell blocks (nc, a, b) into a CSR matrix."""
+    nc, a, b = vals.shape
+    r = np.repeat(rows_nodes, b, axis=1).ravel()
+    c = np.tile(cols_nodes, (1, a)).ravel()
+    m = sp.coo_matrix((vals.ravel(), (r, c)), shape=shape).tocsr()
+    m.sum_duplicates()
+    return m
+
+
+def node_coordinates(space):
+    """(n_unodes, d) and (n_pnodes, d) canonical node coordinates.
+
+    Periodic slave occurrences map onto their owner; the canonical
+    coordinate is the per-axis minimum over occurrences (periodic boxes
+    are axis-aligned, so this recovers the owner-side coordinate).
+    """
+    cu = np.asarray(space.cell_unodes)
+    cp = np.asarray(space.cell_pnodes)
+    X = np.asarray(space.cell_ucoords, dtype=np.float64)
+    d = X.shape[-1]
+    uc = np.full((space.n_unodes, d), np.inf)
+    pc = np.full((space.n_pnodes, d), np.inf)
+    for ax in range(d):
+        np.minimum.at(uc[:, ax], cu.ravel(), X[..., ax].ravel())
+        np.minimum.at(pc[:, ax], cp.ravel(),
+                      X[:, :cp.shape[1], ax].ravel())
+    return uc, pc
+
+
+def lex_permutation(coords, tol=1e-9):
+    """Row-major lexicographic node order (last axis fastest)."""
+    keys = np.round(np.asarray(coords, np.float64) / tol).astype(np.int64)
+    perm = np.lexsort(tuple(keys[:, ax] for ax in range(keys.shape[1])))
+    return np.asarray(perm, dtype=np.int64)
+
+
+def rcm_permutation(A):
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    return np.asarray(reverse_cuthill_mckee(A.tocsr(),
+                                            symmetric_mode=False),
+                      dtype=np.int64)
+
+
+def _inverse(perm):
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return inv
+
+
+# ---------------------------------------------------------------------------
+# device formats
+# ---------------------------------------------------------------------------
+
+class CirculantBand:
+    """y[i] = sum_d band[d, i] * x[(i + off_d) mod N] via rolls.
+
+    Registered as a JAX pytree (the band array is a leaf) so operators can
+    be passed as *arguments* into jitted programs -- closed-over device
+    arrays would be embedded as HLO constants, which both bloats programs
+    past the remote-compile transport limit and defeats donation.
+    """
+
+    def __init__(self, offsets, band, dtype):
+        self.offsets = tuple(int(o) for o in offsets)
+        self.n = band.shape[1]
+        self._diag_host = (np.ascontiguousarray(band[list(self.offsets).index(0)])
+                           if 0 in self.offsets else np.zeros(self.n))
+        self.band = jnp.asarray(band, dtype=dtype)
+
+    def apply(self, x):
+        """x: (..., N) -> (..., N)."""
+        acc = None
+        for k, o in enumerate(self.offsets):
+            xo = x if o == 0 else jnp.roll(x, -o, axis=-1)
+            term = self.band[k] * xo
+            acc = term if acc is None else acc + term
+        return acc
+
+    def diagonal(self):
+        return jnp.asarray(self._diag_host, dtype=self.band.dtype)
+
+    @property
+    def nbytes(self):
+        return self.band.size * self.band.dtype.itemsize
+
+
+class AffineBand:
+    """Block-window band: rows in blocks of RB, window start affine in b.
+
+    ``bandmat`` is (nblk, RB, W) with
+        A[b*RB + i, start_b + w] = bandmat[b, i, w],
+        start_b = b * stride - b_lo.
+    Window construction is static slicing of the padded x reshaped to
+    stride-wide tiles; the apply is one batched dense mat-vec.
+    """
+
+    def __init__(self, n_rows, n_cols, stride, b_lo, bandmat, dtype):
+        self.n_rows = int(n_rows)
+        self.n_cols = int(n_cols)
+        self.stride = int(stride)
+        self.b_lo = int(b_lo)
+        nblk, rb, W = bandmat.shape
+        assert rb == RB
+        self.nblk = nblk
+        s = self.stride
+        self.T = -(-W // s)
+        Wp = self.T * s
+        if Wp != W:
+            bandmat = np.concatenate(
+                [bandmat, np.zeros((nblk, RB, Wp - W), bandmat.dtype)],
+                axis=2)
+        self.W = Wp
+        self._diag_host = self._extract_diag(bandmat)
+        self.bandmat = jnp.asarray(bandmat, dtype=dtype)
+        # padded-x length: window max = (nblk-1)*s + Wp, plus front pad b_lo
+        need = self.b_lo + (self.nblk - 1) * s + Wp
+        self.pad_back = max(need - self.n_cols, 0)
+        total = self.b_lo + self.n_cols + self.pad_back
+        self.pad_back += (-total) % s
+        self.n_tiles = (self.b_lo + self.n_cols + self.pad_back) // s
+
+    def _windows(self, x):
+        """x: (..., n_cols) -> (..., nblk, W) window matrix.
+
+        The padding is *circular* (xp[i] = x[(i - b_lo) mod N]): periodic
+        wrap columns live near the window under the centered-mod offsets
+        of ``build_operator``; for non-periodic operators the wrapped
+        reads multiply zero band entries, so they are inert.
+        """
+        total = self.b_lo + self.n_cols + self.pad_back
+        s0 = (-self.b_lo) % self.n_cols
+        reps = -(-(s0 + total) // self.n_cols)
+        xp = jnp.concatenate([x] * reps, axis=-1)[..., s0:s0 + total]
+        tiles = xp.reshape(x.shape[:-1] + (self.n_tiles, self.stride))
+        parts = [jax.lax.slice_in_dim(tiles, t, t + self.nblk, axis=-2)
+                 for t in range(self.T)]
+        wins = jnp.stack(parts, axis=-2)          # (..., nblk, T, s)
+        return wins.reshape(x.shape[:-1] + (self.nblk, self.W))
+
+    def apply(self, x):
+        """x: (..., n_cols) -> (..., n_rows)."""
+        wins = self._windows(x)
+        out = jnp.einsum("bij,...bj->...bi", self.bandmat, wins,
+                         preferred_element_type=wins.dtype)
+        out = out.reshape(x.shape[:-1] + (self.nblk * RB,))
+        return out[..., :self.n_rows]
+
+    def _extract_diag(self, bandmat):
+        if self.n_rows != self.n_cols:
+            return None
+        rows = np.arange(self.n_rows)
+        b, i = rows // RB, rows % RB
+        rel = (np.mod(rows - b * self.stride + self.n_cols // 2,
+                      self.n_cols) - self.n_cols // 2)
+        w = rel + self.b_lo
+        ok = (w >= 0) & (w < self.W)
+        diag = np.zeros(self.n_rows, bandmat.dtype)
+        diag[ok] = bandmat[b[ok], i[ok], w[ok]]
+        return diag
+
+    def diagonal(self):
+        assert self._diag_host is not None
+        return jnp.asarray(self._diag_host, dtype=self.bandmat.dtype)
+
+    @property
+    def nbytes(self):
+        return self.bandmat.size * self.bandmat.dtype.itemsize
+
+
+def build_operator(A, dtype, circulant_cap=96, window_cap=6144,
+                   name="", max_bytes=None):
+    """Pick the device format for a (permuted) CSR matrix.
+
+    Tries CirculantBand (offset count <= circulant_cap), then AffineBand
+    (window width <= window_cap and band storage <= max_bytes, default
+    ``NS_FASTOP_MAX_BYTES`` or 1e9).  Raises ``StructureError`` if
+    neither fits -- callers fall back to the gather path.
+    """
+    import os
+
+    if max_bytes is None:
+        max_bytes = float(os.environ.get("NS_FASTOP_MAX_BYTES", 1e9))
+    A = A.tocoo()
+    n_rows, n_cols = A.shape
+    if n_rows == n_cols:
+        off = np.mod(A.col - A.row, n_cols)
+        uniq = np.unique(off)
+        if len(uniq) <= circulant_cap:
+            idx = np.searchsorted(uniq, off)
+            band = np.zeros((len(uniq), n_cols))
+            band[idx, A.row] = A.data
+            return CirculantBand(uniq, band, dtype)
+    # affine block-window band (centered-mod offsets: periodic wrap
+    # columns fold back near the window)
+    stride = max(int(round(RB * n_cols / n_rows)), 1)
+    b = A.row // RB
+    rel = np.mod(A.col - b * stride + n_cols // 2, n_cols) - n_cols // 2
+    b_lo = int(max(-rel.min(), 0))
+    W = int(rel.max() + b_lo + 1)
+    if W > window_cap:
+        raise StructureError(
+            f"{name or 'operator'}: window {W} exceeds cap {window_cap} "
+            f"(offsets {len(np.unique(np.mod(A.col - A.row, n_cols))) if n_rows == n_cols else '-'})")
+    nblk = -(-n_rows // RB)
+    est = nblk * RB * W * jnp.dtype(dtype).itemsize
+    if est > max_bytes:
+        raise StructureError(
+            f"{name or 'operator'}: band storage {est/1e9:.2f} GB exceeds "
+            f"NS_FASTOP_MAX_BYTES={max_bytes/1e9:.2f} GB")
+    bandmat = np.zeros((nblk, RB, W))
+    bandmat[b, A.row % RB, rel + b_lo] = A.data
+    return AffineBand(n_rows, n_cols, stride, b_lo, bandmat, dtype)
+
+
+class StructureError(ValueError):
+    """No gather-free format fits this operator."""
+
+
+def _cb_flatten(op):
+    return (op.band,), (op.offsets, op.n)
+
+
+def _cb_unflatten(aux, children):
+    op = object.__new__(CirculantBand)
+    op.offsets, op.n = aux
+    (op.band,) = children
+    op._diag_host = None
+    return op
+
+
+jax.tree_util.register_pytree_node(CirculantBand, _cb_flatten, _cb_unflatten)
+
+_AB_AUX = ("n_rows", "n_cols", "stride", "b_lo", "nblk", "T", "W",
+           "pad_back", "n_tiles")
+
+
+def _ab_flatten(op):
+    return (op.bandmat,), tuple(getattr(op, a) for a in _AB_AUX)
+
+
+def _ab_unflatten(aux, children):
+    op = object.__new__(AffineBand)
+    for name, val in zip(_AB_AUX, aux):
+        setattr(op, name, val)
+    (op.bandmat,) = children
+    op._diag_host = None
+    return op
+
+
+jax.tree_util.register_pytree_node(AffineBand, _ab_flatten, _ab_unflatten)
+
+
+# ---------------------------------------------------------------------------
+# Taylor-Hood operator suite (planar layout)
+# ---------------------------------------------------------------------------
+
+class PlanarOps(NamedTuple):
+    """Device-side operator bundle, passed as a pytree *argument* into
+    jitted programs (never closed over: see CirculantBand docstring)."""
+
+    M: object                 # velocity scalar mass (band op)
+    K: object                 # velocity scalar stiffness
+    L: object                 # pressure stiffness
+    G: tuple                  # per-dim pressure-gradient couplings
+    D: tuple                  # per-dim divergence couplings
+    diag_m: jnp.ndarray
+    diag_k: jnp.ndarray
+    diag_l: jnp.ndarray
+    conv_cu: jnp.ndarray      # (nc, 6) permuted cell u-node ids
+    conv_W: jnp.ndarray       # (nc, nq) quadrature weights
+    conv_N2: jnp.ndarray      # (nq, 6)
+    conv_g2: jnp.ndarray      # (nc, nq, 6, d) physical shape gradients
+    conv_table: jnp.ndarray   # transpose-scatter table
+
+
+def conv_apply(ops: PlanarOps, u, cc):
+    """Assembled convection rhs b = int(cc (u.grad)u . N), planar."""
+    dim = u.shape[0]
+    u_c = u[:, ops.conv_cu]                                  # (d, nc, 6)
+    u_q = jnp.einsum("qi,dci->dcq", ops.conv_N2, u_c)
+    grad_u = jnp.einsum("dci,cqie->dcqe", u_c, ops.conv_g2)
+    adv = cc * jnp.einsum("ecq,dcqe->dcq", u_q, grad_u)
+    r_c = jnp.einsum("cq,dcq,qi->dci", ops.conv_W, adv, ops.conv_N2)
+    flat = r_c.reshape(dim, -1)
+    pad = jnp.zeros((dim, 1), dtype=flat.dtype)
+    padded = jnp.concatenate([flat, pad], axis=1)
+    return padded[:, ops.conv_table].sum(axis=2)
+
+
+class FastTaylorHood:
+    """Gather-free scalar-operator suite for a Taylor-Hood space.
+
+    Works in *permuted* node numberings chosen per field (lexicographic if
+    it yields circulant structure, else reverse Cuthill-McKee) and a
+    *planar* velocity layout ``(dim, n_unodes)`` (the velocity operators
+    are identical per component, so one band application serves all
+    components -- element matrices are scalar, see
+    ``scalar_element_matrices``).
+
+    Use ``permute_velocity`` / ``unpermute_velocity`` (and the pressure
+    versions) at solver boundaries; keep state permuted across steps.
+    """
+
+    def __init__(self, space, dtype=None, circulant_cap=96,
+                 window_cap=6144, max_bytes=None):
+        self.space = space
+        self.dim = space.dim
+        dt = config.default_dtype() if dtype is None else dtype
+        self.dtype = dt
+
+        em = scalar_element_matrices(space)
+        cu = np.asarray(space.cell_unodes)
+        cp = np.asarray(space.cell_pnodes)
+        Nu, Np = space.n_unodes, space.n_pnodes
+        M = assemble_csr(em["M2"], cu, cu, (Nu, Nu))
+        K = assemble_csr(em["K2"], cu, cu, (Nu, Nu))
+        L = assemble_csr(em["L1"], cp, cp, (Np, Np))
+        Gs = [assemble_csr(em["G"][:, :, d, :], cu, cp, (Nu, Np))
+              for d in range(self.dim)]
+
+        ucoords, pcoords = node_coordinates(space)
+        permU = lex_permutation(ucoords)
+        # probe circulant structure on the stiffness pattern
+        if not self._is_circulant(K, permU, circulant_cap):
+            permU = rcm_permutation(K)
+        self.permU, self.invU = permU, _inverse(permU)
+        permP = lex_permutation(pcoords)
+        if not self._is_circulant(L, permP, circulant_cap):
+            # induce the pressure ordering from the velocity ordering
+            # (P1 nodes are colocated with P2 vertex nodes): independent
+            # orderings make the rectangular G/D windows span the whole
+            # matrix
+            nn1 = cp.shape[1]
+            p2u = np.full(Np, -1, dtype=np.int64)
+            p2u[cp.ravel()] = cu[:, :nn1].ravel()
+            assert (p2u >= 0).all()
+            permP = np.argsort(self.invU[p2u], kind="stable")
+        self.permP, self.invP = permP, _inverse(permP)
+
+        def pu(A):
+            return A.tocsr()[permU][:, permU]
+
+        def pp(A):
+            return A.tocsr()[permP][:, permP]
+
+        kw = dict(dtype=dt, circulant_cap=circulant_cap,
+                  window_cap=window_cap, max_bytes=max_bytes)
+        self.M = build_operator(pu(M), name="mass", **kw)
+        self.K = build_operator(pu(K), name="stiffness", **kw)
+        self.L = build_operator(pp(L), name="pressure-stiffness", **kw)
+        self.G = [build_operator(Gd.tocsr()[permU][:, permP],
+                                 name=f"gradient[{d}]", **kw)
+                  for d, Gd in enumerate(Gs)]
+        self.D = [build_operator(Gd.tocsr().T.tocsr()[permP][:, permU],
+                                 name=f"divergence[{d}]", **kw)
+                  for d, Gd in enumerate(Gs)]
+        self.structured = all(
+            isinstance(op, CirculantBand) for op in (self.M, self.K, self.L))
+
+        self._setup_convection(em)
+        self.ops = PlanarOps(
+            M=self.M, K=self.K, L=self.L, G=tuple(self.G), D=tuple(self.D),
+            diag_m=self.M.diagonal(), diag_k=self.K.diagonal(),
+            diag_l=self.L.diagonal(),
+            conv_cu=self._conv_cu, conv_W=self._conv_W,
+            conv_N2=self._conv_N2, conv_g2=self._conv_g2,
+            conv_table=self._conv_table)
+
+    @staticmethod
+    def _is_circulant(A, perm, cap):
+        A = A.tocoo()
+        inv = _inverse(perm)
+        off = np.mod(inv[A.col] - inv[A.row], A.shape[0])
+        return len(np.unique(off)) <= cap
+
+    # -- layout helpers ------------------------------------------------------
+    def interleaved_to_planar(self, u_flat):
+        """(n_unodes*dim,) node-major interleaved -> permuted (dim, Nu)."""
+        u2 = jnp.asarray(u_flat).reshape(-1, self.dim).T
+        return u2[:, self.permU]
+
+    def planar_to_interleaved(self, u_planar):
+        """permuted (dim, Nu) -> (n_unodes*dim,) node-major interleaved."""
+        return u_planar[:, self.invU].T.reshape(-1)
+
+    # -- permutation helpers (host or device arrays) ------------------------
+    def permute_velocity(self, u_planar):
+        return u_planar[..., self.permU]
+
+    def unpermute_velocity(self, u_planar):
+        return u_planar[..., self.invU]
+
+    def permute_pressure(self, p):
+        return p[..., self.permP]
+
+    def unpermute_pressure(self, p):
+        return p[..., self.invP]
+
+    # -- operator factories (planar: velocity (dim, Nu), pressure (Np,)) ----
+    def make_velocity_mass(self):
+        f = jax.jit(lambda M, u: M.apply(u))
+        return lambda u: f(self.M, u)
+
+    def make_velocity_helmholtz(self, visc):
+        def helm(M, K, u, accel0):
+            return accel0 * M.apply(u) + visc * K.apply(u)
+
+        f = jax.jit(helm)
+        return lambda u, accel0: f(self.M, self.K, u, accel0)
+
+    def make_gradient(self):
+        def grad(G, p):
+            return jnp.stack([Gd.apply(p) for Gd in G], axis=0)
+
+        f = jax.jit(grad)
+        return lambda p: f(tuple(self.G), p)
+
+    def make_divergence(self):
+        def div(D, u):
+            acc = D[0].apply(u[0])
+            for d in range(1, len(D)):
+                acc = acc + D[d].apply(u[d])
+            return acc
+
+        f = jax.jit(div)
+        return lambda u: f(tuple(self.D), u)
+
+    def make_pressure_stiffness(self):
+        f = jax.jit(lambda L, p: L.apply(p))
+        return lambda p: f(self.L, p)
+
+    def diagonals(self):
+        """(diag_M (Nu,), diag_K (Nu,), diag_L (Np,)) -- scalar per node."""
+        return self.M.diagonal(), self.K.diagonal(), self.L.diagonal()
+
+    # -- nonlinear convection (per-cell quadrature; gather path for now) ----
+    def _setup_convection(self, em):
+        space = self.space
+        dt = self.dtype
+        cu_p = self.invU[np.asarray(space.cell_unodes)]
+        self._conv_cu = jnp.asarray(cu_p.astype(np.int32))
+        self._conv_W = jnp.asarray(space.integration_weights(), dtype=dt)
+        self._conv_N2 = jnp.asarray(space.N2, dtype=dt)
+        g2 = np.einsum("qia,cqae->cqie", np.asarray(space.G2, np.float64),
+                       np.asarray(space.Jinv_q, np.float64))
+        self._conv_g2 = jnp.asarray(g2, dtype=dt)
+        from navierstokes_tpu.parallel.sharded import build_scatter_transpose
+
+        tab, _ = build_scatter_transpose(cu_p.astype(np.int32),
+                                         space.n_unodes)
+        self._conv_table = jnp.asarray(tab)
+
+    def make_convection_rhs(self, cc):
+        """u (dim, Nu) -> b (dim, Nu), b = int(cc (u.grad)u . N) assembled."""
+        f = jax.jit(conv_apply, static_argnames=("cc",))
+        return lambda u: f(self.ops, u, cc=float(cc))

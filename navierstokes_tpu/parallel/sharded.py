@@ -167,15 +167,21 @@ class ShardedCellOperator:
         g1 = np.einsum("qja,cqae->cqje", np.asarray(space.G1), Jinv)
         N2h = np.asarray(space.N2)
         N1h = np.asarray(space.N1)
-        self.M_c = jnp.asarray(
-            np.einsum("cq,qi,qj->cij", W, N2h, N2h), dtype=dt)
-        self.K_c = jnp.asarray(
-            np.einsum("cq,cqie,cqje->cij", W, g2, g2), dtype=dt)
+        M_c = np.einsum("cq,qi,qj->cij", W, N2h, N2h)
+        K_c = np.einsum("cq,cqie,cqje->cij", W, g2, g2)
         # G_c[i,d,j] = -int N1_j dN2_i/dx_d  (pressure-gradient coupling)
-        self.G_c = jnp.asarray(
-            -np.einsum("cq,qj,cqid->cidj", W, N1h, g2), dtype=dt)
-        self.KP_c = jnp.asarray(
-            np.einsum("cq,cqje,cqke->cjk", W, g1, g1), dtype=dt)
+        G_c = -np.einsum("cq,qj,cqid->cidj", W, N1h, g2)
+        KP_c = np.einsum("cq,cqje,cqke->cjk", W, g1, g1)
+        # host copies of the element diagonals: diagonals() must never
+        # read the device arrays back (each readback over the device
+        # tunnel costs ~10 s; six of them dominated round-2 setup)
+        self._elem_diags_host = (np.einsum("cii->ci", M_c),
+                                 np.einsum("cii->ci", K_c),
+                                 np.einsum("cjj->cj", KP_c))
+        self.M_c = jnp.asarray(M_c, dtype=dt)
+        self.K_c = jnp.asarray(K_c, dtype=dt)
+        self.G_c = jnp.asarray(G_c, dtype=dt)
+        self.KP_c = jnp.asarray(KP_c, dtype=dt)
 
         # --- per-shard transpose-gather tables ------------------------------
         # the velocity scatter is split by node class (vertex nodes in
@@ -374,13 +380,18 @@ class ShardedCellOperator:
                       np.asarray(elem_diag).ravel())
             return out
 
-        nn2 = self.cell_unodes.shape[1]
-        dM = np.einsum("cii->ci", np.asarray(self.M_c))
-        dK = np.einsum("cii->ci", np.asarray(self.K_c))
-        dL = np.einsum("cjj->cj", np.asarray(self.KP_c))
-        diag_m = accumulate(dM, self.cell_unodes, self.space.n_unodes)
-        diag_k = accumulate(dK, self.cell_unodes, self.space.n_unodes)
-        diag_l = accumulate(dL, self.cell_pnodes, self.space.n_pnodes)
+        dM, dK, dL = self._elem_diags_host
+        cu_host = np.asarray(self.cell_order)  # avoid device readbacks:
+        # rebuild padded host cell tables exactly as in __init__
+        cu = np.asarray(self.space.cell_unodes)[cu_host]
+        cp_ = np.asarray(self.space.cell_pnodes)[cu_host]
+        n_pad = self.n_cells_padded - cu.shape[0]
+        if n_pad:
+            cu = np.concatenate([cu, np.repeat(cu[:1], n_pad, 0)])
+            cp_ = np.concatenate([cp_, np.repeat(cp_[:1], n_pad, 0)])
+        diag_m = accumulate(dM, cu, self.space.n_unodes)
+        diag_k = accumulate(dK, cu, self.space.n_unodes)
+        diag_l = accumulate(dL, cp_, self.space.n_pnodes)
         dt = self.dtype
         rep = np.repeat  # velocity diag per component
         return (jnp.asarray(rep(diag_m, self.dim), dtype=dt),

@@ -94,8 +94,18 @@ class ProjectionSolver(InstationarySolverBase):
             try:
                 self._setup_spectral_step()
                 return
-            except Exception:
-                pass
+            except Exception as exc:
+                # a silent fallback here costs ~100x throughput when the
+                # structured detector regresses (round-2 verdict weak #3):
+                # log it and leave a monitor record
+                import warnings
+
+                msg = (f"spectral fast path unavailable "
+                       f"({type(exc).__name__}: {exc}); falling back to "
+                       f"the generic projection step")
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+                self.monitor.record("spectral_fallback", reason=str(exc),
+                                    exc_type=type(exc).__name__)
         self._setup_generic_step(v_dofs, mean_constrained)
 
     def _has_body_force(self):
@@ -118,10 +128,6 @@ class ProjectionSolver(InstationarySolverBase):
         self._step_kind = "spectral"
 
     def _setup_generic_step(self, v_dofs, mean_constrained):
-        from navierstokes_tpu.parallel.sharded import (ShardedCellOperator,
-                                                       device_mesh)
-        from navierstokes_tpu.solvers.fused_step import build_projection_step
-
         space = self._space
         n_u = space.n_velocity_dofs
         vel_bc = None
@@ -141,18 +147,79 @@ class ProjectionSolver(InstationarySolverBase):
             pres_mask = np.zeros(space.n_pnodes, bool)
             pres_mask[ranks] = True
 
-        ops = ShardedCellOperator(space, device_mesh(1))
         k0 = self._time_stepping.get_next_step_size()
+        self._v_dofs = v_dofs
+        try:
+            self._setup_fast_step(vel_bc, pres_mask, k0)
+        except Exception as exc:
+            from navierstokes_tpu.assembly.fastop import StructureError
+
+            if not isinstance(exc, StructureError):
+                raise
+            self.monitor.record("fastop_fallback", reason=str(exc))
+            self._setup_cell_loop_step(vel_bc, pres_mask, k0)
+        self._body_rhs = None
+        if self._has_body_force():
+            self._body_rhs = self._convert_body_rhs(
+                self._assemble_body_rhs())
+
+    def _setup_fast_step(self, vel_bc, pres_mask, k0):
+        """Gather-free banded engine (assembly/fastop.py): the default
+        any-mesh hot path since round 3."""
+        from navierstokes_tpu.assembly.fastop import FastTaylorHood
+        from navierstokes_tpu.solvers.planar_step import \
+            build_planar_projection_step
+
+        space = self._space
+        fast = FastTaylorHood(space)
+        self._fast = fast
+
+        def to_planar_mask(flat):
+            m = np.asarray(flat).reshape(space.n_unodes, space.dim).T
+            return m[:, fast.permU]
+
+        p_vel_bc = None
+        if vel_bc is not None:
+            p_vel_bc = (to_planar_mask(vel_bc[0]), to_planar_mask(vel_bc[1]))
+        p_pres_mask = None
+        if pres_mask is not None:
+            p_pres_mask = np.asarray(pres_mask)[fast.permP]
+        self._fast_step = build_planar_projection_step(
+            fast, visc=self._visc, dt=k0, cg_iters=self._cg_iters,
+            vel_bc=p_vel_bc, pres_bc_mask=p_pres_mask,
+            conv_coeff=self._conv_coeff, cg_rtol=self._cg_rtol,
+            with_residuals=True)
+        self._step_kind = "fast"
+        self._sync_planar_from_canonical()
+
+    def _sync_planar_from_canonical(self):
+        fast = self._fast
+        self._u2 = fast.interleaved_to_planar(self._u)
+        self._u2_old = fast.interleaved_to_planar(self._u_old)
+        self._p2 = fast.permute_pressure(jnp.asarray(self._p))
+        self._phi2 = fast.permute_pressure(jnp.asarray(self._phi))
+
+    def _setup_cell_loop_step(self, vel_bc, pres_mask, k0):
+        """Round-1 per-cell gather/scatter path; kept as the fallback for
+        meshes the banded formats cannot hold."""
+        from navierstokes_tpu.parallel.sharded import (ShardedCellOperator,
+                                                       device_mesh)
+        from navierstokes_tpu.solvers.fused_step import build_projection_step
+
+        space = self._space
+        ops = ShardedCellOperator(space, device_mesh(1))
         self._ops = ops
         self._fused = build_projection_step(
             space, ops, visc=self._visc, dt=k0, cg_iters=self._cg_iters,
             vel_bc=vel_bc, pres_bc_mask=pres_mask,
             conv_coeff=self._conv_coeff, cg_rtol=self._cg_rtol,
             with_residuals=True)
-        self._v_dofs = v_dofs
-        self._body_rhs = None
-        if self._has_body_force():
-            self._body_rhs = self._assemble_body_rhs()
+        self._step_kind = "generic"
+
+    def _convert_body_rhs(self, body_rhs_flat):
+        if self._step_kind == "fast":
+            return self._fast.interleaved_to_planar(body_rhs_flat)
+        return body_rhs_flat
 
     def _assemble_body_rhs(self, t=None):
         """Velocity-space load vector of the (steady or frozen-at-t) body
@@ -180,6 +247,8 @@ class ProjectionSolver(InstationarySolverBase):
         self._phi = jnp.zeros_like(p0)
         if getattr(self, "_step_kind", None) == "spectral":
             self._spectral_state = None        # rebuilt lazily from _u
+        if getattr(self, "_step_kind", None) == "fast":
+            self._sync_planar_from_canonical()
 
     # -- stepping ---------------------------------------------------------------
     def _weights(self):
@@ -213,6 +282,28 @@ class ProjectionSolver(InstationarySolverBase):
             self._u_old2, self._u_old = self._u_old, self._u
             self._u = jnp.asarray(u_flat)
             self._p = jnp.asarray(p)
+        elif self._step_kind == "fast":
+            fast = self._fast
+            bc_values = None
+            if len(self._v_dofs):
+                vals_flat = np.zeros(space.n_velocity_dofs)
+                vals_flat[self._v_dofs] = np.asarray(
+                    self._vel_dirichlet.values(next_time))
+                bc_values = jnp.asarray(
+                    vals_flat.reshape(space.n_unodes, space.dim).T
+                    [:, fast.permU], dtype=config.default_dtype())
+            u2_new, p2_new, phi2, res = self._fast_step(
+                self._u2, self._u2_old, self._p2, self._phi2, alpha, eta,
+                bc_values=bc_values, k=k, body_rhs=self._body_rhs)
+            self.monitor.record("linear_solve", residual=jnp.max(res),
+                                residuals=res, label="projection-cg")
+            self._u2_old, self._u2 = self._u2, u2_new
+            self._p2, self._phi2 = p2_new, phi2
+            # canonical (interleaved, space-numbering) mirrors
+            self._u_old2, self._u_old = self._u_old, self._u
+            self._u = fast.planar_to_interleaved(u2_new)
+            self._p = fast.unpermute_pressure(p2_new)
+            self._phi = fast.unpermute_pressure(phi2)
         else:
             bc_values = None
             if len(self._v_dofs):
@@ -252,8 +343,8 @@ class ProjectionSolver(InstationarySolverBase):
         returns a device array without blocking -- on a remote-TPU tunnel,
         per-step eager ops and host syncs would dominate the step cost.
         """
-        assert self._step_kind == "generic", \
-            "reaction forces need a Dirichlet boundary (generic path)"
+        assert self._step_kind in ("generic", "fast"), \
+            "reaction forces need a Dirichlet boundary (generic/fast path)"
         assert not self._has_body_force(), \
             "reaction force with body forces: use SolverBase path"
         space = self._space

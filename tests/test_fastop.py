@@ -1,0 +1,169 @@
+"""Gather-free operator engine (assembly/fastop.py) vs the cell-loop layer.
+
+CPU/f64: the FastTaylorHood suite must reproduce the ShardedCellOperator
+matvecs to roundoff on periodic and non-periodic meshes, in both device
+formats (circulant rolls and the affine block-window band), and the planar
+projection step must track the fused step trajectory.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from navierstokes_tpu.assembly.fastop import (AffineBand, CirculantBand,
+                                              FastTaylorHood)
+from navierstokes_tpu.fem.spaces import TaylorHoodSpace, axis_periodic
+from navierstokes_tpu.mesh import hyper_cube, hyper_rectangle
+from navierstokes_tpu.parallel.sharded import (ShardedCellOperator,
+                                               device_mesh)
+
+
+@pytest.fixture(scope="module")
+def periodic_space():
+    mesh, _ = hyper_cube(2, 8)
+    return TaylorHoodSpace(mesh, periodic=[axis_periodic(0),
+                                           axis_periodic(1)])
+
+
+@pytest.fixture(scope="module")
+def channel_space():
+    mesh, _ = hyper_rectangle((0.0, 0.0), (2.0, 1.0), (12, 6))
+    return TaylorHoodSpace(mesh)
+
+
+def _interleaved_to_planar(u_flat, space):
+    return jnp.asarray(np.asarray(u_flat).reshape(space.n_unodes,
+                                                  space.dim).T)
+
+
+def _planar_to_interleaved(u2):
+    return jnp.asarray(np.asarray(u2).T.reshape(-1))
+
+
+def _check_against_reference(space, fast):
+    rng = np.random.default_rng(3)
+    u_flat = jnp.asarray(rng.standard_normal(space.n_velocity_dofs))
+    p = jnp.asarray(rng.standard_normal(space.n_pnodes))
+
+    ref = ShardedCellOperator(space, device_mesh(1))
+    u2 = fast.permute_velocity(_interleaved_to_planar(u_flat, space))
+    pp = fast.permute_pressure(p)
+
+    # velocity mass
+    got = fast.unpermute_velocity(fast.make_velocity_mass()(u2))
+    want = _interleaved_to_planar(ref.make_velocity_mass()(u_flat), space)
+    np.testing.assert_allclose(got, want, atol=1e-11)
+
+    # helmholtz with traced accel0
+    a0 = jnp.asarray(37.5)
+    got = fast.unpermute_velocity(
+        fast.make_velocity_helmholtz(0.01)(u2, a0))
+    want = _interleaved_to_planar(
+        ref.make_velocity_helmholtz(0.01)(u_flat, a0), space)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+    # gradient
+    got = fast.unpermute_velocity(fast.make_gradient()(pp))
+    want = _interleaved_to_planar(ref.make_gradient()(p), space)
+    np.testing.assert_allclose(got, want, atol=1e-11)
+
+    # divergence
+    got = fast.unpermute_pressure(fast.make_divergence()(u2))
+    want = ref.make_divergence()(u_flat)
+    np.testing.assert_allclose(got, want, atol=1e-11)
+
+    # pressure stiffness
+    got = fast.unpermute_pressure(fast.make_pressure_stiffness()(pp))
+    want = ref.make_pressure_stiffness()(p)
+    np.testing.assert_allclose(got, want, atol=1e-11)
+
+    # nonlinear convection rhs
+    got = fast.unpermute_velocity(fast.make_convection_rhs(1.0)(u2))
+    want = _interleaved_to_planar(ref.make_convection_rhs(1.0)(u_flat),
+                                  space)
+    np.testing.assert_allclose(got, want, atol=1e-11)
+
+    # diagonals agree with the cell-loop assembly
+    dm, dk, dl = fast.diagonals()
+    rm, rk, rl = ref.diagonals()
+    np.testing.assert_allclose(np.asarray(dm)[fast.invU],
+                               np.asarray(rm).reshape(-1, space.dim)[:, 0],
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dl)[fast.invP], rl, atol=1e-11)
+
+
+def test_periodic_structured_is_circulant(periodic_space):
+    fast = FastTaylorHood(periodic_space)
+    assert isinstance(fast.M, CirculantBand)
+    assert isinstance(fast.K, CirculantBand)
+    assert isinstance(fast.L, CirculantBand)
+    assert fast.structured
+    _check_against_reference(periodic_space, fast)
+
+
+def test_channel_matches_reference(channel_space):
+    fast = FastTaylorHood(channel_space)
+    _check_against_reference(channel_space, fast)
+
+
+def test_affine_band_forced(periodic_space):
+    """circulant_cap=0 forces every operator through AffineBand."""
+    fast = FastTaylorHood(periodic_space, circulant_cap=0)
+    assert isinstance(fast.M, AffineBand)
+    assert isinstance(fast.K, AffineBand)
+    assert isinstance(fast.L, AffineBand)
+    _check_against_reference(periodic_space, fast)
+
+
+def test_planar_step_matches_fused_step(periodic_space):
+    from navierstokes_tpu.solvers.fused_step import build_projection_step
+    from navierstokes_tpu.solvers.planar_step import \
+        build_planar_projection_step
+
+    space = periodic_space
+    fast = FastTaylorHood(space)
+    ref_ops = ShardedCellOperator(space, device_mesh(1))
+
+    g = 2 * np.pi
+    u0 = space.interpolate_velocity(
+        lambda x: np.stack([np.cos(g * x[:, 0]) * np.sin(g * x[:, 1]),
+                            -np.sin(g * x[:, 0]) * np.cos(g * x[:, 1])],
+                           axis=1))
+    p0 = space.interpolate_pressure(
+        lambda x: -0.25 * (np.cos(2 * g * x[:, 0])
+                           + np.cos(2 * g * x[:, 1])))
+
+    kw = dict(visc=0.01, dt=1e-3, cg_iters=(8, 20, 6))
+    step_ref = build_projection_step(space, ref_ops, **kw)
+    step_new = build_planar_projection_step(fast, **kw)
+
+    dt64 = jnp.float64
+    one = lambda v: jnp.asarray(v, dt64)
+    alpha1 = (one(1.0), one(-1.0), one(0.0))
+    alpha2 = (one(1.5), one(-2.0), one(0.5))
+    eta1 = (one(1.0), one(0.0))
+    eta2 = (one(2.0), one(-1.0))
+
+    u_flat = jnp.asarray(u0.reshape(-1))
+    p = jnp.asarray(p0)
+    phi = jnp.zeros_like(p)
+    u2 = fast.permute_velocity(_interleaved_to_planar(u_flat, space))
+    p2 = fast.permute_pressure(p)
+    phi2 = jnp.zeros_like(p2)
+
+    ur_old = ur = u_flat
+    un_old = un = u2
+    for i in range(4):
+        a, e = (alpha1, eta1) if i == 0 else (alpha2, eta2)
+        ur_new, p, phi = step_ref(ur, ur_old, p, phi, a, e)
+        un_new, p2, phi2 = step_new(un, un_old, p2, phi2, a, e)
+        ur_old, ur = ur, ur_new
+        un_old, un = un, un_new
+
+    got_u = fast.unpermute_velocity(un)
+    want_u = _interleaved_to_planar(ur, space)
+    np.testing.assert_allclose(got_u, want_u, rtol=0, atol=1e-10)
+    got_p = fast.unpermute_pressure(p2)
+    np.testing.assert_allclose(got_p, p, rtol=0, atol=1e-10)

@@ -54,7 +54,7 @@ def test_projection_solver_channel_reaches_poiseuille():
     onto the parabolic profile (the steady state of the scheme)."""
     solver, ts = _channel_solver(dt=0.05)
     _run(solver, ts, 120)
-    assert solver._step_kind == "generic"
+    assert solver._step_kind == "fast"   # gather-free banded engine (r3)
     space = solver.space
     u, p = space.split(np.asarray(solver.solution))
     u_exact = np.stack([space.u_coords[:, 1] * (1 - space.u_coords[:, 1]),
@@ -105,7 +105,9 @@ def test_dfg_projection_problem_short_run():
     assert np.isfinite(coeffs).all()
 
     solver = problem._get_solver()
-    assert solver._step_kind == "generic"
+    # fine unstructured meshes may exceed the banded-storage cap and fall
+    # back to the cell-loop path; either hot path must work here
+    assert solver._step_kind in ("fast", "generic")
     space = solver.space
     u, _ = space.split(np.asarray(solver.solution))
     inlet_nodes = np.nonzero(space.u_coords[:, 0] < 1e-9)[0]
