@@ -63,7 +63,7 @@ def residual_f64(space, x, bc_dofs, bc_values, scalars, *,
     grad_v = np.einsum("cid,cqie->cqde", u_c, g2)
     p_q = np.einsum("qj,cj->cq", N1, p_c)
 
-    mom = accel0 * v_q + (source_q if np.ndim(source_q) else 0.0)
+    mom = accel0 * v_q + np.asarray(source_q, dtype=v_q.dtype)
     if cc is not None:
         cc = float(cc)
         if conv_form is WeakFormConvectiveTerm.standard_form:

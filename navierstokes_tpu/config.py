@@ -28,13 +28,17 @@ def x64_enabled() -> bool:
 def default_dtype():
     """Device storage dtype.
 
-    float64 on the CPU backend when x64 is enabled (validation/CI);
-    float32 whenever the primary backend is an accelerator -- even with
-    x64 enabled, which is the **mixed-precision mode**: the host
-    accumulates float64 (assembly/host_reference.py) while every device
-    array stays float32 (TPU has no fast f64 path).
+    float64 wherever x64 is enabled and the backend has a usable f64 path
+    (CPU, GPU); float32 on TPU-class backends even with x64 enabled,
+    which is the **mixed-precision mode**: the host accumulates float64
+    (assembly/host_reference.py) while every device array stays float32
+    (TPU has no fast f64 path).  The override is gated on the backend
+    actually being TPU-like -- a GPU backend with x64 requested keeps
+    float64 (advisor finding, round 2).
     """
-    return jnp.float64 if (x64_enabled() and not on_tpu()) else jnp.float32
+    if x64_enabled() and not _f32_only_backend():
+        return jnp.float64
+    return jnp.float32
 
 
 def default_int_dtype():
@@ -59,6 +63,16 @@ def on_tpu() -> bool:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         return False
+
+
+def _f32_only_backend() -> bool:
+    """True for backends without a hardware f64 path (TPU and the axon
+    TPU tunnel); False for CPU and CUDA/ROCm GPUs."""
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    return backend in ("tpu", "axon")
 
 
 def enable_x64() -> None:

@@ -237,7 +237,18 @@ class TaylorHoodSpace:
         X_raw = u_coords_raw[cell_unodes_raw]             # (nc, nn2, d)
         self.cell_ucoords = X_raw
         Jq = np.einsum("qie,cid->cqde", self.G2, X_raw)   # (nc, nq, d, d)
-        self.detJ_q = np.abs(np.linalg.det(Jq))
+        det = np.linalg.det(Jq)
+        # a cell whose det J changes sign across quadrature points is
+        # tangled (e.g. boundary snapping pulled a mid-edge node across the
+        # opposite edge) -- integrating |det| there would silently corrupt
+        # the geometry (ADVICE r2)
+        sign = np.sign(det[:, :1])
+        if np.any(det * sign <= 0.0):
+            bad = np.unique(np.nonzero(det * sign <= 0.0)[0])[:10]
+            raise ValueError(
+                f"tangled isoparametric cells (det J changes sign): "
+                f"cells {bad.tolist()}")
+        self.detJ_q = np.abs(det)
         self.Jinv_q = np.linalg.inv(Jq)
 
         self._facet_edge_lookup = None

@@ -291,6 +291,10 @@ class StationarySolverBase(SolverBase):
             ctx = MatrixFreePCD(op, helmholtz_shift=shift0)
             ctx._shift_bucket = ("ptc", sigma0)
             self._pcd_ctx = ctx
+        import os as _os
+
+        verbose = _os.environ.get("NS_TPU_VERBOSE", "") == "1"
+        k = 0
         for k in range(maxiter):
             if res <= tol:
                 break
@@ -303,9 +307,14 @@ class StationarySolverBase(SolverBase):
             n_lin_total += int(its)
             x_new = x + dx
             res_new = res_norm(x_new)
-            print(f"PTC step {k}: ||F|| = {res_new:.3e} "
-                  f"(sigma {sigma:.2e}, {int(its)} lin its)")
-            if res_new < res or sigma >= 0.25 * sigma0:
+            if verbose:
+                print(f"PTC step {k}: ||F|| = {res_new:.3e} "
+                      f"(sigma {sigma:.2e}, {int(its)} lin its)")
+            # accept descent; during the strongly-damped early phase also
+            # accept bounded uphill moves (<= 2x) -- unbounded acceptance
+            # broke the monotonicity the docstring promises (ADVICE r2)
+            if res_new < res or (sigma >= 0.25 * sigma0
+                                 and res_new <= 2.0 * res):
                 # accept; SER shrink (clamped to x4 decrease per step)
                 x = x_new
                 res_prev, res = res, res_new
