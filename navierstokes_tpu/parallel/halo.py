@@ -260,18 +260,29 @@ class HaloCellOperator:
             cu[nc:] = (pad_dev * self.chunk_u)[:, None]
             cp_[nc:] = (pad_dev * self.chunk_p)[:, None]
 
-        # element matrices (cell-ordered, padded)
+        # element matrices (cell-ordered, padded); host copies feed the
+        # Jacobi diagonals below with zero device readbacks
         g2 = np.einsum("qia,cqae->cqie", np.asarray(space.G2), Jinv)
         g1 = np.einsum("qja,cqae->cqje", np.asarray(space.G1), Jinv)
         N2h, N1h = np.asarray(space.N2), np.asarray(space.N1)
-        self.M_c = jnp.asarray(np.einsum("cq,qi,qj->cij", W, N2h, N2h),
-                               dtype=dt)
-        self.K_c = jnp.asarray(np.einsum("cq,cqie,cqje->cij", W, g2, g2),
-                               dtype=dt)
+        M_ch = np.einsum("cq,qi,qj->cij", W, N2h, N2h)
+        K_ch = np.einsum("cq,cqie,cqje->cij", W, g2, g2)
+        KP_ch = np.einsum("cq,cqje,cqke->cjk", W, g1, g1)
+        self.M_c = jnp.asarray(M_ch, dtype=dt)
+        self.K_c = jnp.asarray(K_ch, dtype=dt)
         self.G_c = jnp.asarray(-np.einsum("cq,qj,cqid->cidj", W, N1h, g2),
                                dtype=dt)
-        self.KP_c = jnp.asarray(np.einsum("cq,cqje,cqke->cjk", W, g1, g1),
-                                dtype=dt)
+        self.KP_c = jnp.asarray(KP_ch, dtype=dt)
+
+        # assembled Jacobi diagonals in the partitioned (padded) numbering;
+        # padded cells carry zero quadrature weight, so their slots stay 0
+        diag_m = np.zeros(self.nu_pad)
+        diag_k = np.zeros(self.nu_pad)
+        diag_l = np.zeros(self.np_pad)
+        np.add.at(diag_m, cu.ravel(), np.einsum("cii->ci", M_ch).ravel())
+        np.add.at(diag_k, cu.ravel(), np.einsum("cii->ci", K_ch).ravel())
+        np.add.at(diag_l, cp_.ravel(), np.einsum("cjj->cj", KP_ch).ravel())
+        self._diag_host = (diag_m, diag_k, diag_l)
         self.W = jnp.asarray(W)
         self.Jinv = jnp.asarray(Jinv)
         self.N2 = jnp.asarray(N2h, dtype=dt)
@@ -346,7 +357,12 @@ class HaloCellOperator:
         cn = plan.cell_nodes_local.reshape(self.n_dev, -1,
                                            *plan.cell_nodes_local.shape[2:])
         tab = plan.tables
-        return lambda u, *dyn: sharded(cn, tab, *extra_arrays, u)
+        def apply_(u, *dyn):
+            assert not dyn, ("_u_to_u carries no dynamic trailing "
+                             "arguments; build a dedicated factory instead")
+            return sharded(cn, tab, *extra_arrays, u)
+
+        return apply_
 
     # -- operators -------------------------------------------------------------
     def make_velocity_mass(self):
