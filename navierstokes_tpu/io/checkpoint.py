@@ -74,11 +74,7 @@ def load_checkpoint(path: str, solver, time_stepping) -> None:
         solver._u_old2 = jnp.asarray(data["proj_u_old2"])
         solver._p = jnp.asarray(data["proj_p"])
         solver._phi = jnp.asarray(data["proj_phi"])
-        kind = getattr(solver, "_step_kind", None)
-        if kind == "spectral":
-            solver._spectral_state = None      # rebuilt lazily from _u
-        elif kind == "fast":
-            solver._sync_planar_from_canonical()
+        solver._sync_state_from_canonical()
     ts = time_stepping
     ts._previous_time = float(data["previous_time"])
     ts._current_time = float(data["current_time"])

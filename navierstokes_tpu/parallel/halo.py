@@ -502,6 +502,20 @@ class HaloCellOperator:
         return jax.jit(lambda u: sharded(up.cell_nodes_local, up.tables,
                                          W, Jinv, u))
 
+    def diagonals(self):
+        """Assembled Jacobi diagonals, padded + sharded over the mesh.
+
+        Velocity diagonals are expanded to the node-major ``(nu_pad*dim,)``
+        vector layout of :meth:`pad_velocity`; padding slots hold 0 (the
+        callers' ``1/max(d, eps)`` guard turns them inert).
+        """
+        dm, dk, dl = self._diag_host
+        sh = NamedSharding(self.mesh, P(self.axis))
+        rep = lambda a: np.repeat(a, self.dim)
+        return (jax.device_put(jnp.asarray(rep(dm), dtype=self.dtype), sh),
+                jax.device_put(jnp.asarray(rep(dk), dtype=self.dtype), sh),
+                jax.device_put(jnp.asarray(dl, dtype=self.dtype), sh))
+
     # -- diagnostics -------------------------------------------------------------
     def halo_report(self) -> dict:
         """Per-device memory / halo statistics (the weak-scaling table)."""

@@ -40,7 +40,11 @@ class ProjectionSolver(InstationarySolverBase):
                  time_stepping, tol=None, max_iter=None,
                  form_viscous_term="reduced", linear_solver=None,
                  cg_iters=(40, 400, 20), cg_rtol=1e-8,
-                 prefer_spectral=True):
+                 prefer_spectral=True, device_mesh=None):
+        """``device_mesh``: a ``jax.sharding.Mesh`` with >1 devices routes
+        the whole step through the domain-decomposed halo layer
+        (parallel/halo.py + solvers/halo_step.py): state sharded over the
+        mesh, halo exchange per matvec -- the multi-chip path."""
         assert isinstance(time_stepping, BDFTimeStepping)
         super().__init__(mesh, boundary_markers, form_convective_term,
                          time_stepping, tol, max_iter or 50,
@@ -49,6 +53,7 @@ class ProjectionSolver(InstationarySolverBase):
         self._cg_rtol = cg_rtol
         self._prefer_spectral = prefer_spectral
         self._periodic_pairs = []
+        self._device_mesh = device_mesh
 
     # -- setup ----------------------------------------------------------------
     def _setup_function_spaces(self):
@@ -149,6 +154,14 @@ class ProjectionSolver(InstationarySolverBase):
 
         k0 = self._time_stepping.get_next_step_size()
         self._v_dofs = v_dofs
+        if self._device_mesh is not None \
+                and int(self._device_mesh.devices.size) > 1:
+            self._setup_halo_step(vel_bc, pres_mask, k0)
+            self._body_rhs = None
+            if self._has_body_force():
+                self._body_rhs = self._convert_body_rhs(
+                    self._assemble_body_rhs())
+            return
         try:
             self._setup_fast_step(vel_bc, pres_mask, k0)
         except Exception as exc:
@@ -199,6 +212,42 @@ class ProjectionSolver(InstationarySolverBase):
         self._p2 = fast.permute_pressure(jnp.asarray(self._p))
         self._phi2 = fast.permute_pressure(jnp.asarray(self._phi))
 
+    def _setup_halo_step(self, vel_bc, pres_mask, k0):
+        """Domain-decomposed step: state sharded over ``device_mesh``,
+        ppermute halo exchange per matvec (solvers/halo_step.py)."""
+        from navierstokes_tpu.parallel.halo import HaloCellOperator
+        from navierstokes_tpu.solvers.halo_step import \
+            build_halo_projection_step
+
+        hops = HaloCellOperator(self._space, self._device_mesh)
+        self._hops = hops
+        self._halo_step = build_halo_projection_step(
+            hops, visc=self._visc, dt=k0, cg_iters=self._cg_iters,
+            vel_bc=vel_bc, pres_bc_mask=pres_mask,
+            conv_coeff=self._conv_coeff, cg_rtol=self._cg_rtol,
+            with_residuals=True)
+        self._step_kind = "halo"
+        self._sync_halo_from_canonical()
+
+    def _sync_halo_from_canonical(self):
+        hops = self._hops
+        dt = config.default_dtype()
+        self._uh = hops.pad_velocity(jnp.asarray(self._u, dt))
+        self._uh_old = hops.pad_velocity(jnp.asarray(self._u_old, dt))
+        self._ph = hops.pad_pressure(jnp.asarray(self._p, dt))
+        self._phih = hops.pad_pressure(jnp.asarray(self._phi, dt))
+
+    def _sync_state_from_canonical(self):
+        """Re-derive per-path device state from the canonical arrays
+        (after initial conditions or a checkpoint restore)."""
+        kind = getattr(self, "_step_kind", None)
+        if kind == "spectral":
+            self._spectral_state = None        # rebuilt lazily from _u
+        elif kind == "fast":
+            self._sync_planar_from_canonical()
+        elif kind == "halo":
+            self._sync_halo_from_canonical()
+
     def _setup_cell_loop_step(self, vel_bc, pres_mask, k0):
         """Round-1 per-cell gather/scatter path; kept as the fallback for
         meshes the banded formats cannot hold."""
@@ -219,6 +268,8 @@ class ProjectionSolver(InstationarySolverBase):
     def _convert_body_rhs(self, body_rhs_flat):
         if self._step_kind == "fast":
             return self._fast.interleaved_to_planar(body_rhs_flat)
+        if self._step_kind == "halo":
+            return self._hops.pad_velocity(jnp.asarray(body_rhs_flat))
         return body_rhs_flat
 
     def _assemble_body_rhs(self, t=None):
@@ -245,10 +296,7 @@ class ProjectionSolver(InstationarySolverBase):
         self._u_old2 = self._u
         self._p = p0
         self._phi = jnp.zeros_like(p0)
-        if getattr(self, "_step_kind", None) == "spectral":
-            self._spectral_state = None        # rebuilt lazily from _u
-        if getattr(self, "_step_kind", None) == "fast":
-            self._sync_planar_from_canonical()
+        self._sync_state_from_canonical()
 
     # -- stepping ---------------------------------------------------------------
     def _weights(self):
@@ -304,6 +352,27 @@ class ProjectionSolver(InstationarySolverBase):
             self._u = fast.planar_to_interleaved(u2_new)
             self._p = fast.unpermute_pressure(p2_new)
             self._phi = fast.unpermute_pressure(phi2)
+        elif self._step_kind == "halo":
+            hops = self._hops
+            bc_values = None
+            if len(self._v_dofs):
+                vals_flat = np.zeros(space.n_velocity_dofs)
+                vals_flat[self._v_dofs] = np.asarray(
+                    self._vel_dirichlet.values(next_time))
+                bc_values = hops.pad_velocity(
+                    jnp.asarray(vals_flat, config.default_dtype()))
+            uh_new, ph_new, phih, res = self._halo_step(
+                self._uh, self._uh_old, self._ph, self._phih, alpha, eta,
+                bc_values=bc_values, k=k, body_rhs=self._body_rhs)
+            self.monitor.record("linear_solve", residual=jnp.max(res),
+                                residuals=res, label="projection-cg-halo")
+            self._uh_old, self._uh = self._uh, uh_new
+            self._ph, self._phih = ph_new, phih
+            # canonical (space-numbering) mirrors
+            self._u_old2, self._u_old = self._u_old, self._u
+            self._u = hops.unpad_velocity(uh_new)
+            self._p = hops.unpad_pressure(ph_new)
+            self._phi = hops.unpad_pressure(phih)
         else:
             bc_values = None
             if len(self._v_dofs):
