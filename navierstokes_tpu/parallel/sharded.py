@@ -115,8 +115,7 @@ def _gather_scatter(values_flat, table):
 class ShardedCellOperator:
     """Sharded matrix-free operators for a Taylor-Hood space."""
 
-    def __init__(self, space: TaylorHoodSpace, mesh: Mesh, axis="shard",
-                 use_pallas=None):
+    def __init__(self, space: TaylorHoodSpace, mesh: Mesh, axis="shard"):
         config.ensure_accurate_matmuls()
         self.space = space
         self.mesh = mesh
@@ -209,22 +208,11 @@ class ShardedCellOperator:
         self.p_table = shard_tables(build_scatter_transpose,
                                     cp_, space.n_pnodes)
 
-        import os
-
-        if use_pallas is None:
-            use_pallas = os.environ.get("NS_TPU_PALLAS", "") == "1"
-        self.use_pallas = bool(use_pallas)
-
         self._shard_spec = P(axis)
         self._repl = P()
 
     def _elem_apply(self, A_c, u_c):
-        """Batched per-cell element-matrix apply (Pallas opt-in)."""
-        if self.use_pallas:
-            from navierstokes_tpu.assembly.pallas_kernels import \
-                element_apply
-
-            return element_apply(A_c, u_c)
+        """Batched per-cell element-matrix apply."""
         return jnp.einsum("cij,cjd->cid", A_c, u_c)
 
     def _scatter_u(self, r_c, table_v, table_e):
