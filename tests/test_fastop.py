@@ -167,3 +167,15 @@ def test_planar_step_matches_fused_step(periodic_space):
     np.testing.assert_allclose(got_u, want_u, rtol=0, atol=1e-10)
     got_p = fast.unpermute_pressure(p2)
     np.testing.assert_allclose(got_p, p, rtol=0, atol=1e-10)
+
+
+def test_3d_matches_reference():
+    """The banded engine is dimension-agnostic: 3D tetrahedral operators
+    (structured box -> circulant under lex ordering) match the cell-loop
+    layer to roundoff."""
+    from navierstokes_tpu.mesh import hyper_cube
+
+    mesh, _ = hyper_cube(3, 5)
+    space = TaylorHoodSpace(mesh)
+    fast = FastTaylorHood(space)
+    _check_against_reference(space, fast)
