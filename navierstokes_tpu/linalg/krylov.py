@@ -67,7 +67,7 @@ def gmres(A, b, x0=None, tol=1e-12, atol=0.0, maxiter=None, restart=60,
 
 
 def masked_spd_solve(A_fn, b, bc_mask, bc_values, tol=1e-12, maxiter=None,
-                     diag=None):
+                     diag=None, M=None, x0=None):
     """Solve A x = b with Dirichlet constraints, preserving SPD structure.
 
     ``bc_mask``: (n,) bool, True at constrained dofs; ``bc_values``: full
@@ -77,6 +77,11 @@ def masked_spd_solve(A_fn, b, bc_mask, bc_values, tol=1e-12, maxiter=None,
         A'(v) = free . A(free . v) + constrained . v
 
     with RHS  free . (b - A(g)) + constrained . g, then runs CG.
+
+    ``diag``: Jacobi preconditioner from the operator diagonal; ``M``: an
+    explicit preconditioner apply (e.g. an AMG V-cycle built on the
+    symmetrically-pinned matrix) -- overrides ``diag``.  ``x0``: warm
+    start (constrained entries are overwritten with the BC values).
     """
     free = jnp.where(bc_mask, 0.0, 1.0)
     g = jnp.where(bc_mask, bc_values, 0.0)
@@ -85,8 +90,7 @@ def masked_spd_solve(A_fn, b, bc_mask, bc_values, tol=1e-12, maxiter=None,
         return free * A_fn(free * v) + (1.0 - free) * v
 
     rhs = free * (b - A_fn(g)) + g
-    M = None
-    if diag is not None:
+    if M is None and diag is not None:
         safe = jnp.where(free > 0.0, jnp.where(jnp.abs(diag) > 1e-30,
                                                diag, 1.0), 1.0)
         inv = 1.0 / safe
@@ -94,5 +98,6 @@ def masked_spd_solve(A_fn, b, bc_mask, bc_values, tol=1e-12, maxiter=None,
         def M(v):  # noqa: F811
             return inv * v
 
-    x, res = cg(masked, rhs, x0=g, tol=tol, maxiter=maxiter, M=M)
+    start = g if x0 is None else free * x0 + g
+    x, res = cg(masked, rhs, x0=start, tol=tol, maxiter=maxiter, M=M)
     return x, res
