@@ -244,7 +244,12 @@ class SolverBase:
             self._traction_batches.append(
                 dict(batch=dev, x=batch["x"], value=value,
                      component=component,
-                     time_dependent=callable(value)))
+                     time_dependent=callable(value),
+                     host=dict(weights=np.asarray(batch["weights"],
+                                                  dtype=np.float64),
+                               N2=np.asarray(batch["N2"],
+                                             dtype=np.float64),
+                               cells=np.asarray(batch["cells"]))))
 
     def _resolved_linear_mode(self) -> str:
         """The linear-solver mode this solver will actually use."""
@@ -307,6 +312,36 @@ class SolverBase:
             contrib = self._operator.traction_residual(
                 tb["batch"], jnp.asarray(t_q, dtype=config.default_dtype()))
             total = contrib if total is None else total + contrib
+        return total
+
+    def _traction_extra_ru_f64(self, t=None):
+        """Float64 host evaluation of the traction boundary integral
+        (same math as :meth:`_traction_extra_ru`, NumPy f64) -- the
+        high-precision half of mixed-precision refinement must not
+        inherit float32 rounding from the device vector."""
+        if not self._traction_batches:
+            return None
+        space = self._space
+        cu = np.asarray(space.cell_unodes)
+        total = np.zeros((space.n_unodes, space.dim))
+        for tb in self._traction_batches:
+            x = tb["x"]
+            nf, nq, dim = x.shape
+            if tb["component"] is None:
+                vals = _eval_field(tb["value"], x.reshape(-1, dim), t, dim)
+                t_q = np.asarray(vals, dtype=np.float64).reshape(nf, nq,
+                                                                 dim)
+            else:
+                vals = _eval_field(tb["value"], x.reshape(-1, dim), t,
+                                   None)
+                t_q = np.zeros((nf * nq, dim))
+                t_q[:, tb["component"]] = np.asarray(
+                    vals, dtype=np.float64).reshape(-1)
+                t_q = t_q.reshape(nf, nq, dim)
+            h = tb["host"]
+            r_c = np.einsum("fq,fqd,fqi->fid", h["weights"], t_q, h["N2"])
+            np.add.at(total, cu[h["cells"]].ravel(),
+                      r_c.reshape(-1, dim))
         return total
 
     def _momentum_source(self, t=None, extra_quad=None):

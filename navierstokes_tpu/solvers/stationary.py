@@ -342,19 +342,28 @@ class StationarySolverBase(SolverBase):
         on device, and accumulates the iterate in float64.  On a float64
         CPU backend this is a no-op after the first residual check.
 
+        When the float32 correction solve stops making progress (the
+        channel-type pressure-Dirichlet cases floor near 4.5e-7: the
+        remaining residual direction is invisible to the f32
+        preconditioned Krylov), refinement switches to corrections from
+        the *host float64 Newton Jacobian* (exact central-difference
+        element assembly, scipy sparse LU) -- the reference-uniform
+        contract (ns_solver_base.py:986-988) then holds for every BC
+        class, including traction BCs (whose boundary integral is
+        re-evaluated in f64 on the host).
+
         Returns the float64 solution (also stored as
         ``self.solution_f64``); ``self.solution`` keeps the
         device-precision copy.
         """
         import numpy as _np
 
-        from navierstokes_tpu.assembly.host_reference import residual_f64
+        from navierstokes_tpu.assembly.host_reference import (jacobian_f64,
+                                                              residual_f64)
         from navierstokes_tpu.linalg.block_precond import MatrixFreePCD
 
         if self._solution is None:
             self.solve()
-        assert not self._traction_bcs, \
-            "refinement with traction BCs is not implemented"
 
         op = self._operator
         ctx = getattr(self, "_pcd_ctx", None)
@@ -373,20 +382,49 @@ class StationarySolverBase(SolverBase):
         x = _np.array(self._solution, dtype=_np.float64)
         bc_dofs = _np.asarray(self._bc_dofs_all)
         x[bc_dofs] = bcv64
+        extra64 = self._traction_extra_ru_f64()
 
         import time as _time
         t0 = _time.perf_counter()
         history = []
+        lu = None
+        n_lu = 0
         for k in range(maxiter):
             r = residual_f64(
                 self._space, x, bc_dofs, bcv64, scalars,
                 form_convective_term=self._form_convective_term,
                 form_viscous_term=self._form_viscous_term,
-                source_q=source64)
+                source_q=source64, extra_ru=extra64)
             rn = float(_np.linalg.norm(r))
             history.append(rn)
             if rn <= tol:
                 break
+            # stall detection: once the f32 device correction stops
+            # halving the residual, the remainder lives in a direction
+            # below f32 resolution -- switch to host-f64 LU corrections
+            stalled = (lu is not None
+                       or (k >= 2 and rn > 0.5 * history[-2]))
+            if stalled:
+                if lu is None:
+                    from scipy.sparse.linalg import splu
+
+                    pin = self._pressure_pin_dof
+                    if pin is None and self._pressure_gauge_dof is not None:
+                        pin = self._pressure_gauge_dof
+                    A = jacobian_f64(
+                        self._space, x, bc_dofs, scalars,
+                        form_convective_term=self._form_convective_term,
+                        form_viscous_term=self._form_viscous_term,
+                        pin_dof=pin)
+                    lu = splu(A.tocsc())
+                    n_lu += 1
+                rhs = -r
+                if self._pressure_pin_dof is None and \
+                        self._pressure_gauge_dof is not None:
+                    rhs = rhs.copy()
+                    rhs[self._pressure_gauge_dof] = 0.0
+                x = x + lu.solve(rhs)
+                continue
             # normalize the correction solve: keeps the f32 Krylov in a
             # healthy dynamic range regardless of how small ||F|| gets
             dx, _, _ = ctx.solve(
@@ -398,6 +436,7 @@ class StationarySolverBase(SolverBase):
         self.monitor.record(
             "mixed_precision_refinement", iterations=len(history) - 1,
             residual=history[-1], initial_residual=history[0],
+            lu_factorizations=n_lu,
             seconds=_time.perf_counter() - t0)
         assert history[-1] <= tol, \
             f"refinement stalled at ||F|| = {history[-1]:.3e}"
