@@ -29,7 +29,8 @@ import numpy as np
 CHUNK = 200  # scan steps per host round-trip
 
 
-def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None):
+def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
+         base_only=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -82,9 +83,8 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None):
     cyl_nodes = np.asarray(space.facet_unodes(
         markers.ids_with_value(bm["cylinder"])))
     cyl_perm = jnp.asarray(fast.invU[cyl_nodes])
-    ops = fast.ops
 
-    def reaction(u_new, p, u_n, u_nm1, a, k):
+    def reaction(ops, u_new, p, u_n, u_nm1, a, k):
         r = ((a[0] / k) * ops.M.apply(u_new)
              + (a[1] / k) * ops.M.apply(u_n)
              + (a[2] / k) * ops.M.apply(u_nm1)
@@ -101,12 +101,18 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None):
     e2 = (one(2.0), one(-1.0))
     kk = one(dt)
 
+    # operators/masks enter the scan program as ARGUMENTS (closure would
+    # embed the band arrays as HLO constants -> remote-compile HTTP 413)
+    from navierstokes_tpu.solvers.planar_step import _step_core
+
     @jax.jit
-    def chunk(state, n_unused):
+    def chunk(ops, masks, state):
         def body(carry, _):
             u, u_old, p, phi = carry
-            u_new, p_new, phi_new = step(u, u_old, p, phi, a2, e2)
-            F = reaction(u_new, p_new, u, u_old, a2, kk)
+            u_new, p_new, phi_new = _step_core(
+                ops, masks, u, u_old, p, phi, a2, e2, None, kk, None,
+                with_residuals=False, **step.static)
+            F = reaction(ops, u_new, p_new, u, u_old, a2, kk)
             return (u_new, u, p_new, phi_new), 2.0 * F
 
         state, forces = lax.scan(body, state, None, length=CHUNK)
@@ -165,6 +171,21 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None):
         u_new, p, phi = step(u, u_old, p, phi, a1, e1)
         u_old, u = u, u_new
         t_start = dt
+        if base_only:
+            # save the perturbed started state for a (TPU) resume run --
+            # the steady ramp is the fragile part at scale; computing it
+            # on a float64 CPU and resuming on chip splits the risk
+            os.makedirs("results", exist_ok=True)
+            out = f"results/dfg_2d2_base_res{resolution:g}.npz"
+            np.savez(out,
+                     u=np.asarray(fast.unpermute_velocity(u).T.reshape(-1)),
+                     u_old=np.asarray(
+                         fast.unpermute_velocity(u_old).T.reshape(-1)),
+                     p=np.asarray(fast.unpermute_pressure(p)),
+                     phi=np.asarray(fast.unpermute_pressure(phi)),
+                     t=t_start, resolution=resolution)
+            print(f"base state saved to {out}", flush=True)
+            return None
 
     n_steps = int(round((t_end - t_start) / dt))
     n_chunks = max(n_steps // CHUNK, 1)
@@ -172,7 +193,7 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None):
     state = (u, u_old, p, phi)
     t0 = time.time()
     for c in range(n_chunks):
-        state, forces = chunk(state, None)
+        state, forces = chunk(step.ops, step.masks, state)
         f = np.asarray(forces)
         i0 = c * CHUNK
         series[i0:i0 + CHUNK, 0] = t_start + dt * np.arange(1, CHUNK + 1) \
@@ -227,8 +248,10 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None):
 
 
 if __name__ == "__main__":
-    t_end = float(sys.argv[1]) if len(sys.argv) > 1 else 80.0
-    res = float(sys.argv[2]) if len(sys.argv) > 2 else 1.3
-    dt = float(sys.argv[3]) if len(sys.argv) > 3 else 0.005
-    resume = sys.argv[4] if len(sys.argv) > 4 else None
-    main(t_end, res, dt, resume)
+    args = [a for a in sys.argv[1:] if a != "--base-only"]
+    base_only = "--base-only" in sys.argv[1:]
+    t_end = float(args[0]) if len(args) > 0 else 80.0
+    res = float(args[1]) if len(args) > 1 else 1.3
+    dt = float(args[2]) if len(args) > 2 else 0.005
+    resume = args[3] if len(args) > 3 else None
+    main(t_end, res, dt, resume, base_only=base_only)

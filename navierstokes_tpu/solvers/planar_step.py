@@ -204,4 +204,15 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
                           cg_rtol=None if cg_rtol is None else float(cg_rtol),
                           with_residuals=bool(with_residuals))
 
+    # expose the traced-argument pieces so callers embedding the step in a
+    # LARGER jitted program (e.g. a lax.scan over steps) can pass the
+    # operator bundle as an argument instead of closing over it -- a
+    # closure would bake the band arrays into the HLO as constants, which
+    # exceeds remote-compile transport limits at scale
+    step.ops = ops
+    step.masks = masks
+    step.static = dict(
+        visc=float(visc), conv_coeff=float(conv_coeff),
+        cg_iters=tuple(int(i) for i in cg_iters),
+        cg_rtol=None if cg_rtol is None else float(cg_rtol))
     return step
