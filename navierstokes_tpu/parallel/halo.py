@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from navierstokes_tpu import config
@@ -353,7 +353,7 @@ class HaloCellOperator:
         in_specs = (P(axis), P(axis)) + (P(axis),) * len(extra_arrays) \
             + (P(axis),)
         sharded = shard_map(local, mesh=self.mesh, in_specs=in_specs,
-                            out_specs=P(axis), check_rep=False)
+                            out_specs=P(axis), check_vma=False)
         cn = plan.cell_nodes_local.reshape(self.n_dev, -1,
                                            *plan.cell_nodes_local.shape[2:])
         tab = plan.tables
@@ -399,7 +399,7 @@ class HaloCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 4 + (P(axis), P()),
-                            out_specs=P(axis), check_rep=False)
+                            out_specs=P(axis), check_vma=False)
         return jax.jit(lambda u, accel0: sharded(cn, tab, M_c, K_c, u,
                                                  accel0))
 
@@ -423,7 +423,7 @@ class HaloCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 4 + (P(axis),),
-                            out_specs=P(axis), check_rep=False)
+                            out_specs=P(axis), check_vma=False)
         return jax.jit(lambda p: sharded(up.cell_nodes_local,
                                          pp.cell_nodes_local,
                                          up.tables, G_c, p))
@@ -446,7 +446,7 @@ class HaloCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 4 + (P(axis),),
-                            out_specs=P(axis), check_rep=False)
+                            out_specs=P(axis), check_vma=False)
         return jax.jit(lambda u: sharded(up.cell_nodes_local,
                                          pp.cell_nodes_local,
                                          pp.tables, G_c, u))
@@ -468,7 +468,7 @@ class HaloCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 3 + (P(axis),),
-                            out_specs=P(axis), check_rep=False)
+                            out_specs=P(axis), check_vma=False)
         return jax.jit(lambda p: sharded(pp.cell_nodes_local, pp.tables,
                                          KP_c, p))
 
@@ -498,7 +498,7 @@ class HaloCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 4 + (P(axis),),
-                            out_specs=P(axis), check_rep=False)
+                            out_specs=P(axis), check_vma=False)
         return jax.jit(lambda u: sharded(up.cell_nodes_local, up.tables,
                                          W, Jinv, u))
 

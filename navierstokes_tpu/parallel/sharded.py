@@ -32,7 +32,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from navierstokes_tpu import config
@@ -242,7 +242,7 @@ class ShardedCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 4 + (P(),),
-                            out_specs=P(), check_rep=False)
+                            out_specs=P(), check_vma=False)
         return jax.jit(lambda u: sharded(self.M_c, self.cell_unodes,
                                          self.u_table_v, self.u_table_e,
                                          u))
@@ -260,7 +260,7 @@ class ShardedCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 5 + (P(), P()),
-                            out_specs=P(), check_rep=False)
+                            out_specs=P(), check_vma=False)
         return jax.jit(lambda u, accel0: sharded(
             self.M_c, self.K_c, self.cell_unodes, self.u_table_v,
             self.u_table_e, u, accel0))
@@ -277,7 +277,7 @@ class ShardedCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 4 + (P(),),
-                            out_specs=P(), check_rep=False)
+                            out_specs=P(), check_vma=False)
         return jax.jit(lambda p: sharded(self.G_c, self.cell_pnodes,
                                          self.u_table_v, self.u_table_e,
                                          p))
@@ -295,7 +295,7 @@ class ShardedCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis), P(axis), P(axis), P()),
-                            out_specs=P(), check_rep=False)
+                            out_specs=P(), check_vma=False)
         return jax.jit(lambda u: sharded(self.G_c, self.cell_unodes,
                                          self.p_table, u))
 
@@ -310,7 +310,7 @@ class ShardedCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis), P(axis), P(axis), P()),
-                            out_specs=P(), check_rep=False)
+                            out_specs=P(), check_vma=False)
         return jax.jit(lambda p: sharded(self.KP_c, self.cell_pnodes,
                                          self.p_table, p))
 
@@ -332,7 +332,7 @@ class ShardedCellOperator:
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(axis),) * 5 + (P(),),
-                            out_specs=P(), check_rep=False)
+                            out_specs=P(), check_vma=False)
         return jax.jit(lambda u: sharded(self.cell_unodes, self.Jinv,
                                          self.W, self.u_table_v,
                                          self.u_table_e, u))
