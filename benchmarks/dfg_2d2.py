@@ -73,8 +73,10 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
     fast = FastTaylorHood(space)
     to_planar = lambda flat: np.asarray(flat).reshape(
         space.n_unodes, space.dim).T[:, fast.permU]
+    cg_iters = tuple(int(v) for v in
+                     os.environ.get("NS_DFG_CG", "18,250,10").split(","))
     step = build_planar_projection_step(
-        fast, visc=visc, dt=dt, cg_iters=(18, 250, 10),
+        fast, visc=visc, dt=dt, cg_iters=cg_iters,
         vel_bc=(to_planar(v_mask), to_planar(v_vals)),
         pres_bc_mask=np.asarray(p_mask)[fast.permP])
 
