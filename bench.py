@@ -51,6 +51,19 @@ def _sync(x):
     return float(np.asarray(x.sum()))
 
 
+def _tg_amp_err(amp_max):
+    """Relative error of max|u| vs the analytic Taylor-Green decay
+    e^{-2 nu g^2 t} after the timed steps (1 BDF-1 + 3 warmup + N_STEPS
+    BDF-2 steps of size DT) -- a physics guard on the benchmarked
+    trajectory, not just a finiteness check."""
+    import math
+
+    g = 2.0 * math.pi
+    t_total = (4 + N_STEPS) * DT
+    expected = math.exp(-2.0 * (1.0 / RE) * g * g * t_total)
+    return round(abs(float(amp_max) - expected) / expected, 5)
+
+
 def _coeffs(dtype):
     import jax.numpy as jnp
 
@@ -86,7 +99,8 @@ def _bench_structured(space, u0, p0):
     _sync(state[0])
     elapsed = time.perf_counter() - t0
     finite = bool(jnp.all(jnp.isfinite(state[0])))
-    return elapsed, finite
+    quality = {"amp_rel_err": _tg_amp_err(jnp.abs(state[0]).max())}
+    return elapsed, finite, quality
 
 
 def _bench_generic(space, u0, p0):
@@ -122,7 +136,16 @@ def _bench_generic(space, u0, p0):
     _sync(u)
     elapsed = time.perf_counter() - t0
     finite = bool(jnp.all(jnp.isfinite(u)))
-    return elapsed, finite
+
+    # guard (round-2 weak #10): the per-sub-solve CG residuals of one
+    # extra step in the exact bench configuration, recorded in the JSON
+    from navierstokes_tpu.solvers.planar_step import _step_core
+    _, _, _, res = _step_core(step.ops, step.masks, u, u_old, p, phi,
+                              alpha2, eta2, None, jnp.asarray(DT, dtype),
+                              None, with_residuals=True, **step.static)
+    quality = {"amp_rel_err": _tg_amp_err(jnp.abs(u).max()),
+               "cg_residuals": [float(r) for r in np.asarray(res)]}
+    return elapsed, finite, quality
 
 
 def main():
@@ -134,11 +157,16 @@ def main():
                          "or 'generic'")
 
     results = {}
+    quality = {}
     for name, bench in (("structured", _bench_structured),
                         ("generic", _bench_generic)):
         try:
-            elapsed, finite = bench(space, u0, p0)
-            rate = (N_STEPS / elapsed) * space.n_dofs if finite else 0.0
+            elapsed, finite, qual = bench(space, u0, p0)
+            # a path that lost physical accuracy must read as 0 too: the
+            # round-2 regression hid behind a throughput-only metric
+            ok = finite and qual["amp_rel_err"] < 0.05
+            rate = (N_STEPS / elapsed) * space.n_dofs if ok else 0.0
+            quality[name] = qual
         except Exception as exc:  # a broken path must read as 0, not crash
             rate = 0.0
             results[name + "_error"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -152,6 +180,7 @@ def main():
         "unit": "dof*steps/s",
         "vs_baseline": round(value / BASELINE_DOF_STEPS_PER_SEC, 3),
         "paths": results,
+        "quality": quality,
     }))
 
 
