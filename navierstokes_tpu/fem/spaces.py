@@ -161,11 +161,23 @@ class TaylorHoodSpace:
             snap = getattr(mesh, "snap", None)
         self.snap = snap
         if snap is not None:
-            assert dim == 2, "boundary snapping implemented for 2D"
             on_curve, project = snap
             von = np.asarray(on_curve(mesh.points), dtype=bool)
-            emask = (von[mesh.edges[:, 0]] & von[mesh.edges[:, 1]]
-                     & mesh.exterior_facet_mask)
+            if dim == 2:
+                ext_edge = mesh.exterior_facet_mask
+            else:
+                # 3D: an edge is on the exterior surface iff it belongs
+                # to an exterior (boundary) triangle
+                ext_f = mesh.facets[mesh.exterior_facet_mask]
+                pairs = np.sort(
+                    ext_f[:, [[0, 1], [0, 2], [1, 2]]].reshape(-1, 2),
+                    axis=1)
+                enc = pairs[:, 0].astype(np.int64) * nv + pairs[:, 1]
+                eenc = (mesh.edges[:, 0].astype(np.int64) * nv
+                        + mesh.edges[:, 1])
+                ext_edge = np.isin(eenc, enc)
+            emask = von[mesh.edges[:, 0]] & von[mesh.edges[:, 1]] \
+                & ext_edge
             if emask.any():
                 edge_mid[emask] = project(edge_mid[emask])
         u_coords_raw = np.concatenate([mesh.points, edge_mid], axis=0)

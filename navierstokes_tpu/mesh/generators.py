@@ -239,6 +239,7 @@ def spherical_shell(dim, radii, n_points=10):
         (inner_ids, SphericalAnnulusBoundaryMarkers.interior_boundary.value),
         (outer_ids, SphericalAnnulusBoundaryMarkers.exterior_boundary.value),
     ])
+    mesh.snap = sphere_snap(np.zeros(2), (ri, ro), tol=1e-6 * ro)
     return mesh, markers
 
 
@@ -264,6 +265,32 @@ def _delaunay_mesh(points, inside_hole=None, min_quality=1e-6):
     remap = np.full(len(points), -1, dtype=np.int32)
     remap[used] = np.arange(len(used), dtype=np.int32)
     return SimplexMesh(points[used], remap[cells])
+
+
+def sphere_snap(center, radii, tol=None):
+    """(on_curve, project) pair for concentric circles/spheres (any dim).
+
+    Points within ``tol`` of ANY of the ``radii`` are snapped radially to
+    the nearest one -- the shell meshes carry both boundary spheres, so
+    the P2 mid-edge nodes of both become isoparametric (the reference
+    gets true curved boundaries from mshr/CGAL CSG meshing,
+    /root/reference/source/grid_generator.py:67-108).
+    """
+    c = np.asarray(center, dtype=float)
+    radii = np.sort(np.asarray(radii, dtype=float))
+    t = tol if tol is not None else 1e-6 * radii.max()
+
+    def on_curve(x):
+        r = np.linalg.norm(x - c[None, :], axis=1)
+        return np.min(np.abs(r[:, None] - radii[None, :]), axis=1) < t
+
+    def project(x):
+        d = x - c[None, :]
+        r = np.linalg.norm(d, axis=1, keepdims=True)
+        near = radii[np.argmin(np.abs(r - radii[None, :]), axis=1)]
+        return c[None, :] + d / r * near[:, None]
+
+    return on_curve, project
 
 
 def circle_snap(cx, cy, rad, tol=None):
@@ -566,4 +593,5 @@ def _spherical_shell_3d(ri, ro, n_points):
         (inner_ids, SphericalAnnulusBoundaryMarkers.interior_boundary.value),
         (outer_ids, SphericalAnnulusBoundaryMarkers.exterior_boundary.value),
     ])
+    mesh.snap = sphere_snap(np.zeros(3), (ri, ro), tol=1e-6 * ro)
     return mesh, markers

@@ -146,3 +146,24 @@ def test_divergence_functional():
     u2 = jnp.asarray(space.interpolate_velocity(
         lambda x: np.stack([x[:, 0], x[:, 1]], axis=1)))
     assert np.isclose(op.divergence_l2(u2), 2.0)  # div=2 on unit square
+
+
+def test_isoparametric_shell_snapping():
+    """Curved-boundary (isoparametric) shells in 2D AND 3D: P2 mid-edge
+    nodes of both boundary spheres snap onto the true surface, driving
+    the quadrature volume 2-3 orders of magnitude closer to the analytic
+    shell volume than the straight-edged mesh (reference gets curved
+    boundaries from mshr CSG, grid_generator.py:67-108)."""
+    import numpy as np
+
+    from navierstokes_tpu.fem.spaces import TaylorHoodSpace
+    from navierstokes_tpu.mesh import spherical_shell
+
+    for dim, npt, exact in ((2, 16, np.pi * 0.75),
+                            (3, 8, 4.0 / 3.0 * np.pi * 0.875)):
+        mesh, _ = spherical_shell(dim, (0.5, 1.0), npt)
+        err_straight = abs(mesh.cell_volumes.sum() - exact) / exact
+        space = TaylorHoodSpace(mesh)   # snap picked up from mesh.snap
+        vol = float(np.asarray(space.integration_weights()).sum())
+        err_iso = abs(vol - exact) / exact
+        assert err_iso < 1e-2 * err_straight, (dim, err_straight, err_iso)
