@@ -1,13 +1,13 @@
 """Exact DFT block-diagonal solves + fused projection step (periodic).
 
-A stencil over the class grids is block-circulant on the (nx, ny) cell
-lattice, so the 2D DFT block-diagonalizes it exactly: for each Fourier mode
-k the P2 operators become dense 4x4 complex blocks (one row/column per node
-class), the P1 Laplacian a scalar symbol.  The three linear solves of the
-incremental projection scheme (Helmholtz, pressure Poisson, mass
-correction -- solvers/fused_step.py) are then *direct* solves with
-machine-precision accuracy -- a strictly stronger guarantee than the fixed
-CG sweeps of the generic path.
+A stencil over the class grids is block-circulant on the cell lattice, so
+the n-D DFT block-diagonalizes it exactly: for each Fourier mode k the P2
+operators become dense 2^dim x 2^dim complex blocks (one row/column per
+node class -- 4x4 in 2D, 8x8 in 3D), the P1 Laplacian a scalar symbol.
+The three linear solves of the incremental projection scheme (Helmholtz,
+pressure Poisson, mass correction -- solvers/fused_step.py) are then
+*direct* solves with machine-precision accuracy -- a strictly stronger
+guarantee than the fixed CG sweeps of the generic path.
 
 TPU-native design: the device code uses **no complex dtype at all** (the
 TPU backend lacks complex support).  Spectral fields are split re/im real
@@ -19,13 +19,14 @@ generalized eigenbasis per mode:
     (a M + nu K)^{-1} = P diag(1 / (a + nu lam)) P^H,
     P = L^{-H} Q,  M = L L^H,  L^{-1} K L^{-H} = Q diag(lam) Q^H
 
-so the per-step device work is fixed precomputed 4x4 matmuls plus one
+so the per-step device work is fixed precomputed block matmuls plus one
 elementwise divide by the traced scalar ``a`` -- variable time steps never
 recompile and never re-factorize.
 
 Reference semantics: one incremental-pressure-correction step with
 extrapolated convection (scripts/test_ipcs.py:102-171); equivalence with
-the unstructured fused step is asserted in tests/test_structured.py.
+the unstructured fused step is asserted in tests/test_structured.py
+(2D and 3D).
 """
 
 from __future__ import annotations
@@ -51,29 +52,36 @@ def _einsum(*args, **kw):
     return jnp.einsum(*args, **kw)
 
 
-from navierstokes_tpu.structured.grid import N_UCLASS, PeriodicStructuredTH
+def _mm_axis(M, X, axis):
+    """Apply matrix M (k, g) along ``axis`` of X: out[..., k, ...]."""
+    Y = jnp.tensordot(M, X, axes=((1,), (axis,)), precision=_PREC)
+    return jnp.moveaxis(Y, 0, axis)
+
+
+from navierstokes_tpu.structured.grid import PeriodicStructuredTH
 from navierstokes_tpu.structured.ops import StructuredConvection
 
 
-def _symbol(taps, nx, ny, shape):
+def _symbol(taps, shape, blk, n_uclass):
     """Fourier symbol of a tap set: S[k] = sum_s w(s) e^{+2 pi i k.s / N}.
 
-    ``shape``: trailing block shape, e.g. (4, 4) for P2->P2 taps with
-    scalar weights, (4, d) for the gradient/divergence couplings (the class
-    axis is whichever side is P2 -- output for the gradient, input for the
-    divergence), () for the P1 Laplacian.
+    ``blk``: trailing block shape, e.g. (2^dim, 2^dim) for P2->P2 taps
+    with scalar weights, (2^dim, d) for the gradient/divergence couplings
+    (the class axis is whichever side is P2 -- output for the gradient,
+    input for the divergence), () for the P1 Laplacian.
     """
-    T = np.zeros((nx, ny) + shape, dtype=np.complex128)
+    dim = len(shape)
+    T = np.zeros(tuple(shape) + blk, dtype=np.complex128)
     for (co, ci), entries in taps.items():
         for s, w in entries:
-            i, j = s[0] % nx, s[1] % ny
-            if shape == (N_UCLASS, N_UCLASS):
-                T[i, j, co, ci] += w
-            elif shape == ():
-                T[i, j] += w
-            else:                       # (4, d) coupling: the P2-side class
-                T[i, j, max(co, ci)] += np.asarray(w)
-    return np.conj(np.fft.fft2(T, axes=(0, 1)))
+            g = tuple(s[a] % shape[a] for a in range(dim))
+            if blk == (n_uclass, n_uclass):
+                T[g + (co, ci)] += w
+            elif blk == ():
+                T[g] += w
+            else:                       # (2^dim, d) coupling: the P2 class
+                T[g + (max(co, ci),)] += np.asarray(w)
+    return np.conj(np.fft.fftn(T, axes=tuple(range(dim))))
 
 
 class SplitC(NamedTuple):
@@ -88,44 +96,47 @@ def _split(z, dtype):
 
 
 class MatmulDFT:
-    """2D DFT over the two leading grid axes as cos/sin matmuls (MXU)."""
+    """n-D DFT over the grid axes as cos/sin matmuls (MXU).
 
-    def __init__(self, nx, ny, dtype):
+    Operates on tensors with layout (a, *grid, d): grid axes are
+    1..dim inclusive.
+    """
+
+    def __init__(self, shape, dtype):
         def mats(n):
             k = np.arange(n)
             ang = 2.0 * np.pi * np.outer(k, k) / n
             return (jnp.asarray(np.cos(ang), dtype),
                     jnp.asarray(np.sin(ang), dtype))
 
-        self.Cx, self.Sx = mats(nx)
-        self.Cy, self.Sy = mats(ny)
-        self.nx, self.ny = nx, ny
+        self.shape = tuple(shape)
+        self.mats = [mats(n) for n in self.shape]
 
     def fwd(self, X):
-        """Real (..., nx, ny, ...) with grid axes 1,2 of a (a, nx, ny, d)
-        tensor -> SplitC, numpy fft convention (e^{-2 pi i k g / N})."""
-        # axis x: F = C - iS applied to real input
-        ar = _einsum("kx,axyd->akyd", self.Cx, X)
-        ai = -_einsum("kx,axyd->akyd", self.Sx, X)
-        # axis y
-        br = _einsum("ly,akyd->akld", self.Cy, ar) \
-            + _einsum("ly,akyd->akld", self.Sy, ai)
-        bi = _einsum("ly,akyd->akld", self.Cy, ai) \
-            - _einsum("ly,akyd->akld", self.Sy, ar)
-        return SplitC(br, bi)
+        """Real (a, *grid, d) -> SplitC, numpy fft convention
+        (e^{-2 pi i k g / N}): per axis multiply by C - iS."""
+        re, im = X, None
+        for i, (C, S) in enumerate(self.mats):
+            ax = 1 + i
+            if im is None:
+                re, im = _mm_axis(C, re, ax), -_mm_axis(S, re, ax)
+            else:
+                re, im = (_mm_axis(C, re, ax) + _mm_axis(S, im, ax),
+                          _mm_axis(C, im, ax) - _mm_axis(S, re, ax))
+        return SplitC(re, im)
 
     def inv_real(self, Z: SplitC):
-        """Real part of the inverse 2D DFT of a (a, nx, ny, d) SplitC."""
-        s = 1.0 / (self.nx * self.ny)
-        # axis y: (C + iS) / ny
-        ar = _einsum("ly,akyd->akld", self.Cy, Z.re) \
-            - _einsum("ly,akyd->akld", self.Sy, Z.im)
-        ai = _einsum("ly,akyd->akld", self.Cy, Z.im) \
-            + _einsum("ly,akyd->akld", self.Sy, Z.re)
-        # axis x, real part only
-        out = _einsum("kx,axyd->akyd", self.Cx, ar) \
-            - _einsum("kx,axyd->akyd", self.Sx, ai)
-        return s * out
+        """Real part of the inverse n-D DFT of an (a, *grid, d) SplitC.
+
+        Applies (C + iS)/N per axis; the imaginary part of the LAST axis
+        apply is never used, so XLA dead-code-eliminates it."""
+        s = 1.0 / float(np.prod(self.shape))
+        re, im = Z.re, Z.im
+        for i, (C, S) in enumerate(self.mats):
+            ax = 1 + i
+            re, im = (_mm_axis(C, re, ax) - _mm_axis(S, im, ax),
+                      _mm_axis(C, im, ax) + _mm_axis(S, re, ax))
+        return s * re
 
 
 def _cmatmul(S, V: SplitC, sub):
@@ -139,40 +150,44 @@ def _cmatmul(S, V: SplitC, sub):
 class SpectralOperators:
     """Precomputed Fourier symbols + eigenbases, all-real device arrays.
 
-    Spectral velocity layout: SplitC of (nx, ny, 4, d); pressure
-    SplitC of (nx, ny).
+    Spectral velocity layout: SplitC of (*grid, 2^dim, d); pressure
+    SplitC of (*grid).
     """
 
     def __init__(self, sgrid: PeriodicStructuredTH, dtype):
-        nx, ny, d = sgrid.nx, sgrid.ny, sgrid.space.dim
+        shape, d = sgrid.shape, sgrid.space.dim
+        nc = sgrid.n_uclass
         self.sgrid = sgrid
-        self.nx, self.ny, self.d = nx, ny, d
+        self.shape, self.d = shape, d
+        self.dim = len(shape)
+        self.n_uclass = nc
         self.rdtype = jnp.dtype(dtype)
-        self.dft = MatmulDFT(nx, ny, self.rdtype)
+        self.dft = MatmulDFT(shape, self.rdtype)
 
-        blk = (N_UCLASS, N_UCLASS)
-        Mh = _symbol(sgrid.taps_uu(sgrid.M_tau), nx, ny, blk)
-        Kh = _symbol(sgrid.taps_uu(sgrid.K_tau), nx, ny, blk)
+        blk = (nc, nc)
+        Mh = _symbol(sgrid.taps_uu(sgrid.M_tau), shape, blk, nc)
+        Kh = _symbol(sgrid.taps_uu(sgrid.K_tau), shape, blk, nc)
         # enforce Hermitian symmetry (symmetric real-space operators)
         Mh = 0.5 * (Mh + np.conj(np.swapaxes(Mh, -1, -2)))
         Kh = 0.5 * (Kh + np.conj(np.swapaxes(Kh, -1, -2)))
         self.Mhat = _split(Mh, self.rdtype)
         self.Khat = _split(Kh, self.rdtype)
         self.Ghat = _split(
-            _symbol(sgrid.taps_up(sgrid.G_tau), nx, ny, (N_UCLASS, d)),
+            _symbol(sgrid.taps_up(sgrid.G_tau), shape, (nc, d), nc),
             self.rdtype)
         self.Dhat = _split(
-            _symbol(sgrid.taps_pu(sgrid.G_tau), nx, ny, (N_UCLASS, d)),
+            _symbol(sgrid.taps_pu(sgrid.G_tau), shape, (nc, d), nc),
             self.rdtype)
 
         # P1 Laplacian: symmetric stencil -> real symbol; pseudo-inverse
         # (the k=0 constant mode is the mean-pressure null space)
-        Lh = _symbol(sgrid.taps_pp(sgrid.L_tau), nx, ny, ())
+        Lh = _symbol(sgrid.taps_pp(sgrid.L_tau), shape, (), nc)
         assert np.abs(Lh.imag).max() < 1e-9 * np.abs(Lh.real).max()
         Lr = Lh.real.copy()
-        Lr[0, 0] = 1.0
+        zero = (0,) * self.dim
+        Lr[zero] = 1.0
         Linv = 1.0 / Lr
-        Linv[0, 0] = 0.0
+        Linv[zero] = 0.0
         self.Linv = jnp.asarray(Linv, self.rdtype)
 
         # generalized eigenbasis of (M, K) per mode (host, complex128):
@@ -183,64 +198,66 @@ class SpectralOperators:
         B = 0.5 * (B + np.conj(np.swapaxes(B, -1, -2)))
         lam, Q = np.linalg.eigh(B)
         P = np.conj(np.swapaxes(Lc_inv, -1, -2)) @ Q
-        self.P = _split(P, self.rdtype)                 # (nx, ny, 4, 4)
+        self.P = _split(P, self.rdtype)             # (*grid, 2^dim, 2^dim)
         self.PH = _split(np.conj(np.swapaxes(P, -1, -2)), self.rdtype)
         self.lam = jnp.asarray(np.maximum(lam, 0.0), self.rdtype)
 
     # -- transforms ----------------------------------------------------------
     def fwd_u(self, U):
-        """Physical (4, nx, ny, d) -> spectral SplitC (nx, ny, 4, d)."""
+        """Physical (2^dim, *grid, d) -> spectral SplitC (*grid, 2^dim, d)."""
         Z = self.dft.fwd(U)
-        t = lambda a: jnp.transpose(a, (1, 2, 0, 3))
+        perm = tuple(range(1, 1 + self.dim)) + (0, 1 + self.dim)
+        t = lambda a: jnp.transpose(a, perm)
         return SplitC(t(Z.re), t(Z.im))
 
     def inv_u(self, Uh: SplitC):
-        t = lambda a: jnp.transpose(a, (2, 0, 1, 3))
+        perm = (self.dim,) + tuple(range(self.dim)) + (self.dim + 1,)
+        t = lambda a: jnp.transpose(a, perm)
         return self.dft.inv_real(SplitC(t(Uh.re), t(Uh.im)))
 
     def fwd_p(self, P):
-        Z = self.dft.fwd(P[None, :, :, None])
-        return SplitC(Z.re[0, :, :, 0], Z.im[0, :, :, 0])
+        Z = self.dft.fwd(P[None, ..., None])
+        return SplitC(Z.re[0, ..., 0], Z.im[0, ..., 0])
 
     def inv_p(self, Ph: SplitC):
-        Z = SplitC(Ph.re[None, :, :, None], Ph.im[None, :, :, None])
-        return self.dft.inv_real(Z)[0, :, :, 0]
+        Z = SplitC(Ph.re[None, ..., None], Ph.im[None, ..., None])
+        return self.dft.inv_real(Z)[0, ..., 0]
 
     # -- spectral operator applications --------------------------------------
     def mass(self, Uh: SplitC):
-        return _cmatmul(self.Mhat, Uh, "xyab,xybd->xyad")
+        return _cmatmul(self.Mhat, Uh, "...ab,...bd->...ad")
 
     def stiffness(self, Uh: SplitC):
-        return _cmatmul(self.Khat, Uh, "xyab,xybd->xyad")
+        return _cmatmul(self.Khat, Uh, "...ab,...bd->...ad")
 
     def grad(self, Ph: SplitC):
         Gr, Gi = self.Ghat
-        re = _einsum("xyad,xy->xyad", Gr, Ph.re) \
-            - _einsum("xyad,xy->xyad", Gi, Ph.im)
-        im = _einsum("xyad,xy->xyad", Gr, Ph.im) \
-            + _einsum("xyad,xy->xyad", Gi, Ph.re)
+        re = _einsum("...ad,...->...ad", Gr, Ph.re) \
+            - _einsum("...ad,...->...ad", Gi, Ph.im)
+        im = _einsum("...ad,...->...ad", Gr, Ph.im) \
+            + _einsum("...ad,...->...ad", Gi, Ph.re)
         return SplitC(re, im)
 
     def div(self, Uh: SplitC):
         Dr, Di = self.Dhat
-        re = _einsum("xyad,xyad->xy", Dr, Uh.re) \
-            - _einsum("xyad,xyad->xy", Di, Uh.im)
-        im = _einsum("xyad,xyad->xy", Dr, Uh.im) \
-            + _einsum("xyad,xyad->xy", Di, Uh.re)
+        re = _einsum("...ad,...ad->...", Dr, Uh.re) \
+            - _einsum("...ad,...ad->...", Di, Uh.im)
+        im = _einsum("...ad,...ad->...", Dr, Uh.im) \
+            + _einsum("...ad,...ad->...", Di, Uh.re)
         return SplitC(re, im)
 
     def helmholtz_solve(self, accel0, visc, Bh: SplitC):
         """(accel0 M + visc K) Uh = Bh via the precomputed eigenbasis:
         Uh = P diag(1/(accel0 + visc lam)) P^H Bh.  ``accel0`` traced."""
-        t = _cmatmul(self.PH, Bh, "xyab,xybd->xyad")
-        scale = 1.0 / (accel0 + visc * self.lam)        # (nx, ny, 4)
+        t = _cmatmul(self.PH, Bh, "...ab,...bd->...ad")
+        scale = 1.0 / (accel0 + visc * self.lam)    # (*grid, 2^dim)
         t = SplitC(t.re * scale[..., None], t.im * scale[..., None])
-        return _cmatmul(self.P, t, "xyab,xybd->xyad")
+        return _cmatmul(self.P, t, "...ab,...bd->...ad")
 
     def mass_solve(self, Bh: SplitC):
         """M^{-1} = P P^H (the visc=0, accel0=1 eigen-solve)."""
-        t = _cmatmul(self.PH, Bh, "xyab,xybd->xyad")
-        return _cmatmul(self.P, t, "xyab,xybd->xyad")
+        t = _cmatmul(self.PH, Bh, "...ab,...bd->...ad")
+        return _cmatmul(self.P, t, "...ab,...bd->...ad")
 
     def poisson_solve(self, Rh: SplitC):
         return SplitC(self.Linv * Rh.re, self.Linv * Rh.im)
@@ -263,6 +280,7 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
     rdtype = dtype or config.default_dtype()
     ops = SpectralOperators(sgrid, jnp.dtype(rdtype))
     conv = StructuredConvection(sgrid, rdtype)
+    zero_mode = (0,) * len(sgrid.shape)
 
     def axpy(a, X: SplitC, Y):
         if Y is None:
@@ -295,8 +313,8 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
         # (3) velocity correction + pressure update
         Uh_new = axpy(-(k / a0), ops.mass_solve(ops.grad(Phi_h)), Ustar_h)
         Ph_new = SplitC(
-            (Ph.re + Phi_h.re).at[0, 0].set(0.0),
-            (Ph.im + Phi_h.im).at[0, 0].set(0.0))
+            (Ph.re + Phi_h.re).at[zero_mode].set(0.0),
+            (Ph.im + Phi_h.im).at[zero_mode].set(0.0))
 
         U_new = ops.inv_u(Uh_new)
         return (U_new, U, Uh_new, Uh, Ph_new)

@@ -235,3 +235,115 @@ def test_spectral_taylor_green_decay():
     err = op.l2_error_velocity(u_T.reshape(-1, 2),
                                lambda x: tg_velocity(x, t=t_end))
     assert err < 4e-3, err
+
+
+# ---------------------------------------------------------------------------
+# 3D: the same machinery on the Kuhn-tetrahedralized triply periodic box
+# (8 node classes, 6 simplex congruence types, 8x8 spectral blocks)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def setup3d():
+    mesh, _ = hyper_cube(3, 6)
+    space = TaylorHoodSpace(mesh, periodic=[axis_periodic(a)
+                                            for a in range(3)])
+    sgrid = PeriodicStructuredTH(space)
+    ops = ShardedCellOperator(space, device_mesh(1))
+    return space, sgrid, ops
+
+
+def test_3d_class_grid_structure(setup3d):
+    space, sgrid, _ = setup3d
+    assert sgrid.shape == (6, 6, 6)
+    assert sgrid.n_uclass == 8 and sgrid.n_tau == 6
+    u, p = _random(space)
+    assert np.array_equal(sgrid.grids_to_u(sgrid.u_to_grids(u)), u)
+    assert np.array_equal(sgrid.grid_to_p(sgrid.p_to_grid(p)), p)
+
+
+def test_3d_ops_match_unstructured(setup3d):
+    """Stencil, convection AND spectral applies against the (independently
+    verified) unstructured element loop, plus the 8x8 eigenbasis
+    Helmholtz solve to machine precision."""
+    space, sgrid, ops = setup3d
+    u, p = _random(space, seed=4)
+    U = jnp.asarray(sgrid.u_to_grids(u))
+    P = jnp.asarray(sgrid.p_to_grid(p))
+
+    pairs = [
+        (apply_uu(sgrid.taps_uu(sgrid.M_tau), U),
+         ops.make_velocity_mass()(jnp.asarray(u)), "u"),
+        (apply_up(sgrid.taps_up(sgrid.G_tau), P),
+         ops.make_gradient()(jnp.asarray(p)), "u"),
+        (apply_pu(sgrid.taps_pu(sgrid.G_tau), U),
+         ops.make_divergence()(jnp.asarray(u)), "p"),
+        (apply_pp(sgrid.taps_pp(sgrid.L_tau), P),
+         ops.make_pressure_stiffness()(jnp.asarray(p)), "p"),
+        (StructuredConvection(sgrid, jnp.float64)(U),
+         ops.make_convection_rhs(1.0)(jnp.asarray(u)), "u"),
+    ]
+    sp = SpectralOperators(sgrid, jnp.float64)
+    Uh, Ph = sp.fwd_u(U), sp.fwd_p(P)
+    pairs += [
+        (sp.inv_u(sp.mass(Uh)),
+         ops.make_velocity_mass()(jnp.asarray(u)), "u"),
+        (sp.inv_u(sp.grad(Ph)), ops.make_gradient()(jnp.asarray(p)), "u"),
+        (sp.inv_p(sp.div(Uh)), ops.make_divergence()(jnp.asarray(u)), "p"),
+    ]
+    for got, ref, kind in pairs:
+        flat = sgrid.grids_to_u(np.asarray(got)) if kind == "u" \
+            else sgrid.grid_to_p(np.asarray(got))
+        assert np.allclose(flat, np.asarray(ref), atol=1e-12)
+
+    B = apply_uu(sgrid.taps_uu(sgrid.M_tau), U)
+    X = jnp.asarray(sp.inv_u(sp.helmholtz_solve(
+        jnp.asarray(2.0), 0.3, sp.fwd_u(jnp.asarray(B)))))
+    resid = 2.0 * apply_uu(sgrid.taps_uu(sgrid.M_tau), X) \
+        + 0.3 * apply_uu(sgrid.taps_uu(sgrid.K_tau), X) - B
+    assert float(jnp.abs(resid).max()) < 1e-12
+
+
+def test_3d_spectral_step_matches_fused_step(setup3d):
+    """Full 3D projection steps: spectral vs the generic fused step with
+    deep CG -- same scheme, must agree."""
+    from navierstokes_tpu.solvers.fused_step import build_projection_step
+
+    space, sgrid, ops = setup3d
+    visc, dt = 0.01, 1e-2
+    step_ref = build_projection_step(space, ops, visc=visc, dt=dt,
+                                     cg_iters=(200, 500, 120))
+    step_sp, init_state, read_state = build_spectral_projection_step(
+        sgrid, visc=visc, dt=dt, dtype=jnp.float64)
+
+    u0 = space.interpolate_velocity(
+        lambda x: np.stack(
+            [np.sin(GAMMA * x[:, 1]) * np.cos(GAMMA * x[:, 2]),
+             np.sin(GAMMA * x[:, 2]) * np.cos(GAMMA * x[:, 0]),
+             np.sin(GAMMA * x[:, 0]) * np.cos(GAMMA * x[:, 1])],
+            axis=1)).reshape(-1)
+    p0 = np.zeros(space.n_pnodes)
+
+    dtyped = lambda v: jnp.asarray(v, jnp.float64)
+    alpha1 = tuple(map(dtyped, (1.0, -1.0, 0.0)))
+    alpha2 = tuple(map(dtyped, (1.5, -2.0, 0.5)))
+    eta1 = tuple(map(dtyped, (1.0, 0.0)))
+    eta2 = tuple(map(dtyped, (2.0, -1.0)))
+
+    u, u_old, p = jnp.asarray(u0), jnp.asarray(u0), jnp.asarray(p0)
+    phi = jnp.zeros_like(p)
+    u_new, p, phi = step_ref(u, u_old, p, phi, alpha1, eta1)
+    u_old, u = u, u_new
+    for _ in range(2):
+        u_new, p, phi = step_ref(u, u_old, p, phi, alpha2, eta2)
+        u_old, u = u, u_new
+
+    state = init_state(u0, u0, p0)
+    state = step_sp(state, alpha1, eta1)
+    for _ in range(2):
+        state = step_sp(state, alpha2, eta2)
+    u_sp, p_sp = read_state(state)
+
+    scale = np.abs(np.asarray(u)).max()
+    assert np.allclose(u_sp, np.asarray(u), atol=1e-8 * scale)
+    p_ref = np.asarray(p) - np.asarray(p).mean()
+    assert np.allclose(p_sp - p_sp.mean(), p_ref, atol=1e-7)
