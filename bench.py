@@ -38,7 +38,8 @@ import time
 import numpy as np
 
 BASELINE_DOF_STEPS_PER_SEC = 3.0e5
-N_POINTS = int(os.environ.get("NS_BENCH_N", "128"))
+DIM = int(os.environ.get("NS_BENCH_DIM", "2"))
+N_POINTS = int(os.environ.get("NS_BENCH_N", "128" if DIM == 2 else "48"))
 N_STEPS = int(os.environ.get("NS_BENCH_STEPS", "200"))
 PATH = os.environ.get("NS_BENCH_PATH", "structured")
 RE = 100.0
@@ -60,7 +61,8 @@ def _tg_amp_err(amp_max):
 
     g = 2.0 * math.pi
     t_total = (4 + N_STEPS) * DT
-    expected = math.exp(-2.0 * (1.0 / RE) * g * g * t_total)
+    rate = (2.0 if DIM == 2 else 1.0) * (1.0 / RE) * g * g
+    expected = math.exp(-rate * t_total)
     return round(abs(float(amp_max) - expected) / expected, 5)
 
 
@@ -151,7 +153,7 @@ def _bench_generic(space, u0, p0):
 def main():
     from __graft_entry__ import _taylor_green_setup
 
-    space, u0, p0 = _taylor_green_setup(N_POINTS)
+    space, u0, p0 = _taylor_green_setup(N_POINTS, dim=DIM)
     if PATH not in ("structured", "generic"):
         raise SystemExit(f"NS_BENCH_PATH={PATH!r}: expected 'structured' "
                          "or 'generic'")
@@ -175,7 +177,7 @@ def main():
     value = results[PATH]
     print(json.dumps({
         "metric": "DoF-steps/sec (assembly+solve, Taylor-Green "
-                  f"{N_POINTS}x{N_POINTS} SBDF2 projection, {PATH})",
+                  f"{N_POINTS}^{DIM} SBDF2 projection, {PATH})",
         "value": value,
         "unit": "dof*steps/s",
         "vs_baseline": round(value / BASELINE_DOF_STEPS_PER_SEC, 3),
