@@ -377,6 +377,58 @@ class FastTaylorHood:
     versions) at solver boundaries; keep state permuted across steps.
     """
 
+    @staticmethod
+    def _early_band_guard(space, cu, Nu, circulant_cap, window_cap,
+                          max_bytes):
+        """Fail FAST (seconds, before any CSR assembly) when no band
+        format can plausibly fit.  Samples cells under the lex
+        permutation: if the sampled mod-offset count rules out the
+        circulant format AND the sampled block-window lower bound
+        overshoots the affine-band caps by >= 4x (margin for the RCM
+        fallback's narrower bandwidth), raise StructureError now --
+        at 3D scale the full assembly this guard skips costs minutes.
+        """
+        import os
+
+        if max_bytes is None:
+            max_bytes = float(os.environ.get("NS_FASTOP_MAX_BYTES", 1e9))
+        ucoords, _ = node_coordinates(space)
+        perm = _inverse(lex_permutation(ucoords))
+        rng = np.random.default_rng(0)
+        pick = rng.choice(len(cu), size=min(len(cu), 2048), replace=False)
+        # interior-only samples of a non-periodic box LOOK circulant
+        # (translation-invariant stencil); the boundary rows are what
+        # break the format, so sample them explicitly too
+        bnd = np.unique(np.asarray(
+            space.mesh.facet_cell[space.mesh.exterior_facet_mask]))
+        if len(bnd) > 1024:
+            bnd = bnd[rng.choice(len(bnd), size=1024, replace=False)]
+        sample = cu[np.unique(np.concatenate([pick, bnd]))]
+        pc = perm[sample]                          # (ns, nn) permuted ids
+        # the square (uu/pp) operators can always fall back to the
+        # circulant format, so only the RECTANGULAR gradient -- always
+        # an affine band -- reliably explodes in 3D: estimate its window
+        # with the induced pressure ordering approximated by scaling the
+        # colocated vertex u-node positions
+        item = np.dtype(config.default_dtype()).itemsize
+        nblk = -(-Nu // RB)
+        Np_ = space.n_pnodes
+        nn1 = space.dim + 1
+        pu_rows = np.repeat(pc, nn1, axis=1).ravel()
+        p_approx = (perm[sample[:, :nn1]] * (Np_ / Nu)).astype(np.int64)
+        pu_cols = np.tile(p_approx, (1, pc.shape[1])).ravel()
+        strideG = max(int(round(RB * Np_ / Nu)), 1)
+        bg = pu_rows // RB
+        rel = np.mod(pu_cols - bg * strideG + Np_ // 2, Np_) - Np_ // 2
+        W_lb = int(rel.max() - rel.min() + 1)
+        est = nblk * RB * W_lb * item
+        if W_lb > 4 * window_cap or est > 3 * max_bytes:
+            raise StructureError(
+                f"gradient band storage lower bound {est/1e9:.2f} GB / "
+                f"window {W_lb} from sampled cells rules out the banded "
+                f"formats (caps {max_bytes/1e9:.2f} GB / {window_cap}) "
+                f"-- refusing before assembly")
+
     def __init__(self, space, dtype=None, circulant_cap=96,
                  window_cap=6144, max_bytes=None):
         self.space = space
@@ -384,10 +436,13 @@ class FastTaylorHood:
         dt = config.default_dtype() if dtype is None else dtype
         self.dtype = dt
 
-        em = scalar_element_matrices(space)
         cu = np.asarray(space.cell_unodes)
         cp = np.asarray(space.cell_pnodes)
         Nu, Np = space.n_unodes, space.n_pnodes
+        self._early_band_guard(space, cu, Nu, circulant_cap, window_cap,
+                               max_bytes)
+
+        em = scalar_element_matrices(space)
         M = assemble_csr(em["M2"], cu, cu, (Nu, Nu))
         K = assemble_csr(em["K2"], cu, cu, (Nu, Nu))
         L = assemble_csr(em["L1"], cp, cp, (Np, Np))
