@@ -275,6 +275,8 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
       * ``init_state(u_flat, u_old_flat, p_flat) -> state``;
       * ``read_state(state) -> (u_flat, p_flat)`` on the host layout.
     """
+    import copy
+
     from navierstokes_tpu import config
 
     rdtype = dtype or config.default_dtype()
@@ -287,11 +289,23 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
             return SplitC(a * X.re, a * X.im)
         return SplitC(Y.re + a * X.re, Y.im + a * X.im)
 
+    # the per-mode symbol/eigenbasis arrays are O(grid * 2^dim * 2^dim)
+    # -- hundreds of MB at 64^3.  They enter the jitted step as
+    # ARGUMENTS (a pytree), NOT closures: closure arrays are inlined
+    # into the HLO as constants, which exceeds remote-compile transport
+    # limits at scale (HTTP 413 over the device tunnel).
+    big_arrays = dict(Mhat=ops.Mhat, Ghat=ops.Ghat, Dhat=ops.Dhat,
+                      P=ops.P, PH=ops.PH, lam=ops.lam, Linv=ops.Linv)
+
+    def _bind(big):
+        o = copy.copy(ops)
+        for name, v in big.items():
+            setattr(o, name, v)
+        return o
+
     @jax.jit
-    def step(state, alpha, eta, k=None):
-        """``k``: optional traced step size (defaults to the built ``dt``;
-        the eigenbasis Helmholtz solve makes variable steps an elementwise
-        divide, never a refactorization)."""
+    def _step(big, state, alpha, eta, k):
+        ops = _bind(big)
         U, U_old, Uh, Uh_old, Ph = state
         a0, a1, a2 = alpha
         if k is None:
@@ -318,6 +332,12 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
 
         U_new = ops.inv_u(Uh_new)
         return (U_new, U, Uh_new, Uh, Ph_new)
+
+    def step(state, alpha, eta, k=None):
+        """``k``: optional traced step size (defaults to the built ``dt``;
+        the eigenbasis Helmholtz solve makes variable steps an elementwise
+        divide, never a refactorization)."""
+        return _step(big_arrays, state, alpha, eta, k)
 
     def init_state(u_flat, u_old_flat, p_flat):
         U = jnp.asarray(sgrid.u_to_grids(np.asarray(u_flat)), rdtype)
