@@ -205,6 +205,11 @@ class IPCSSolver(InstationarySolverBase):
         v_bc_mask = self._v_bc_mask
         mass_diag = self._mass_diag_u
         n_p = self._space.n_pnodes
+        # dtype-aware stopping: 1e-14 relative is unreachable in f32 --
+        # the CG would spin to maxiter on chip
+        f64 = jnp.dtype(config.default_dtype()) == jnp.float64
+        cg_tol = 1e-14 if f64 else 1e-6
+        cg_cap = 10 * n_p if f64 else 400
 
         @jax.jit
         def step2(ustar2d, old_p, p_bc_full, v_bc_full, k, alpha0):
@@ -217,7 +222,7 @@ class IPCSSolver(InstationarySolverBase):
             warm = old_p if scheme == "incremental" else None
             sol, pres_res = masked_spd_solve(
                 pop.stiffness_matvec, rhs, p_bc_mask, p_bc_full,
-                tol=1e-14, maxiter=10 * n_p, M=amg_p.apply, x0=warm)
+                tol=cg_tol, maxiter=cg_cap, M=amg_p.apply, x0=warm)
             if scheme == "incremental":
                 pressure = sol
                 grad_correction = pressure - old_p
@@ -232,8 +237,8 @@ class IPCSSolver(InstationarySolverBase):
             u_star_q = op.u_at_quad(ustar2d)
             rhs_u = vop.mass_rhs(u_star_q - (k / alpha0) * grad_dp)
             u_new, mass_res = masked_spd_solve(
-                vop.mass_matvec, rhs_u, v_bc_mask, v_bc_full, tol=1e-14,
-                diag=mass_diag, x0=ustar2d.reshape(-1))
+                vop.mass_matvec, rhs_u, v_bc_mask, v_bc_full, tol=cg_tol,
+                maxiter=cg_cap, diag=mass_diag, x0=ustar2d.reshape(-1))
             return u_new, pressure, pres_res, mass_res
 
         self._jit_step2["fn"] = step2
