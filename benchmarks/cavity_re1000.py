@@ -30,8 +30,143 @@ import numpy as np
 GHIA_RE1000 = {"u_min": -0.38289, "y_at_umin": 0.1717}
 
 
+def _cavity_bcs():
+    from navierstokes_tpu.fem.bcs import PressureBCType, VelocityBCType
+    from navierstokes_tpu.mesh.generators import \
+        HyperCubeBoundaryMarkers as M
+
+    lid = lambda x: np.stack([np.ones(len(x)), np.zeros(len(x))], axis=1)
+    return ((VelocityBCType.no_slip, M.left.value, None),
+            (VelocityBCType.no_slip, M.right.value, None),
+            (VelocityBCType.no_slip, M.bottom.value, None),
+            (VelocityBCType.function, M.top.value, lid),
+            (PressureBCType.mean_value, None, 0.0))
+
+
+def centerline_umin(space, x_flat):
+    u = np.asarray(x_flat[:space.n_velocity_dofs],
+                   dtype=np.float64).reshape(-1, space.dim)
+    coords = space.u_coords
+    on_cl = np.abs(coords[:, 0] - 0.5) < 1e-9
+    ys, ux = coords[on_cl, 1], u[on_cl, 0]
+    order = np.argsort(ys)
+    ys, ux = ys[order], ux[order]
+    i = int(np.argmin(ux))
+    return float(ux[i]), float(ys[i])
+
+
+def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
+                    cg_iters=(18, 300, 10), settle_tol=3e-6):
+    """Banded SBDF-2 pseudo-time march to the steady cavity state.
+
+    The TPU-native globalization: instead of the reference's LU-backed
+    Reynolds continuation (ns_problem.py:478-501), ride the gather-free
+    projection engine (27M DoF-steps/s) to the steady attractor -- the
+    cavity is stable at Re=1000, so the transient path IS the continuation.
+    Returns the mixed-space state vector (host float64) for the Newton /
+    refinement stages plus the marched centerline extremum.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from navierstokes_tpu import config
+    from navierstokes_tpu.assembly.fastop import FastTaylorHood
+    from navierstokes_tpu.fem.dirichlet import compile_dirichlet_bcs
+    from navierstokes_tpu.fem.spaces import TaylorHoodSpace
+    from navierstokes_tpu.mesh import hyper_cube
+    from navierstokes_tpu.solvers.planar_step import (
+        _step_core, build_planar_projection_step)
+
+    mesh, markers = hyper_cube(2, n_cells)
+    space = TaylorHoodSpace(mesh)
+    vbc, _ = compile_dirichlet_bcs(space, markers, list(_cavity_bcs()[:4]),
+                                   [])
+    n_u = space.n_velocity_dofs
+    v_mask = np.zeros(n_u, bool)
+    v_mask[np.asarray(vbc.dofs)] = True
+    v_vals = np.zeros(n_u)
+    v_vals[np.asarray(vbc.dofs)] = vbc.values()
+
+    fast = FastTaylorHood(space)
+    to_planar = lambda flat: np.asarray(flat).reshape(
+        space.n_unodes, space.dim).T[:, fast.permU]
+    if dt is None:
+        # SBDF-2 convection is explicit: CFL on the P2 node spacing
+        # h/2 = 1/(2 n) with |u| <= 1 (lid speed)
+        dt = 0.6 / (2.0 * n_cells)
+    step = build_planar_projection_step(
+        fast, visc=1.0 / re_target, dt=dt, cg_iters=cg_iters,
+        vel_bc=(to_planar(v_mask), to_planar(v_vals)), pres_bc_mask=None)
+
+    dtype = config.default_dtype()
+    one = lambda v: jnp.asarray(v, dtype)
+    a1 = (one(1.0), one(-1.0), one(0.0))
+    e1 = (one(1.0), one(0.0))
+    a2 = (one(1.5), one(-2.0), one(0.5))
+    e2 = (one(2.0), one(-1.0))
+    kk = one(dt)
+
+    chunk_len = 500
+
+    @jax.jit
+    def chunk(ops, masks, state):
+        def body(carry, _):
+            u, u_old, p, phi = carry
+            u_new, p_new, phi_new = _step_core(
+                ops, masks, u, u_old, p, phi, a2, e2, None, kk, None,
+                with_residuals=False, **step.static)
+            return (u_new, u, p_new, phi_new), None
+
+        state, _ = lax.scan(body, state, None, length=chunk_len)
+        return state
+
+    u0 = np.zeros((space.n_unodes, space.dim))
+    u0.reshape(-1)[v_mask] = v_vals[v_mask]
+    u = fast.permute_velocity(jnp.asarray(u0.T, dtype))
+    p = jnp.zeros(space.n_pnodes, dtype)
+    phi = jnp.zeros_like(p)
+    # BDF-1 startup
+    u_new, p, phi = step(u, u, p, phi, a1, e1)
+    state = (u_new, u, p, phi)
+
+    t0 = time.time()
+    n_chunks = int(np.ceil(t_max / (chunk_len * dt)))
+    u_prev = np.asarray(state[0], np.float64)
+    rate = np.inf
+    done_chunks = 0
+    for c in range(n_chunks):
+        state = chunk(step.ops, step.masks, state)
+        done_chunks = c + 1
+        u_now = np.asarray(state[0], np.float64)
+        rate = float(np.max(np.abs(u_now - u_prev))) / (chunk_len * dt)
+        u_prev = u_now
+        if (c + 1) % 10 == 0 or rate < settle_tol:
+            t_now = (c + 1) * chunk_len * dt
+            print(f"  march t={t_now:7.1f}  max|du/dt|={rate:.2e}  "
+                  f"[{(time.time()-t0)/((c+1)*chunk_len)*1e3:.2f} ms/step]",
+                  flush=True)
+        if rate < settle_tol:
+            break
+    u_fin, _, p_fin, _ = state
+    u_host = np.asarray(fast.unpermute_velocity(u_fin),
+                        np.float64).T.reshape(-1)
+    p_host = np.array(fast.unpermute_pressure(p_fin), np.float64)
+    p_host -= p_host.mean()
+    x = np.concatenate([u_host, p_host])
+    u_min, y_at = centerline_umin(space, x)
+    info = {"stage": "march", "dt": dt,
+            "steps": done_chunks * chunk_len,
+            "settle_rate": rate, "u_min": u_min, "y_at_umin": y_at,
+            "seconds": round(time.time() - t0, 1)}
+    print(f"[N={n_cells}] march done u_min={u_min:.4f} "
+          f"(rate {rate:.1e}, {info['steps']} steps, "
+          f"{info['seconds']}s)", flush=True)
+    return x, info
+
+
 def run_cavity(n_cells, re_target=1000.0, ramp=(100.0, 300.0),
-               ptc_tol=3e-5, maxiter_newton=40):
+               ptc_tol=3e-5, maxiter_newton=40, use_march=False):
     import jax.numpy as jnp
 
     from navierstokes_tpu import config
@@ -60,21 +195,33 @@ def run_cavity(n_cells, re_target=1000.0, ramp=(100.0, 300.0),
 
     log = {"n_cells": n_cells, "stages": []}
     t0 = time.time()
-    for re in ramp:
-        set_re(re)
-        solver.solve()
-        rec = solver.monitor.records[-1]
-        log["stages"].append(
-            {"stage": f"newton Re={re:g}",
-             "newton_its": rec.get("newton_iterations"),
-             "residual": float(rec["residual"])})
-        print(f"[N={n_cells}] Re={re:g} Newton done "
-              f"||F||={float(rec['residual']):.2e}", flush=True)
+    if use_march:
+        # TPU-native globalization: banded transient march to the steady
+        # attractor replaces the Newton Reynolds ramp (the cavity is
+        # stable at Re=1000, so the transient path IS the continuation)
+        x0, info = march_to_steady(n_cells, re_target)
+        log["stages"].append(info)
+        set_re(re_target)
+        solver._setup_problem()
+        solver._solution = jnp.asarray(x0, config.default_dtype())
+        sigma0, ptc_maxiter = 1.0, 200
+    else:
+        for re in ramp:
+            set_re(re)
+            solver.solve()
+            rec = solver.monitor.records[-1]
+            log["stages"].append(
+                {"stage": f"newton Re={re:g}",
+                 "newton_its": rec.get("newton_iterations"),
+                 "residual": float(rec["residual"])})
+            print(f"[N={n_cells}] Re={re:g} Newton done "
+                  f"||F||={float(rec['residual']):.2e}", flush=True)
+        sigma0, ptc_maxiter = 20.0, 400
 
     # stage 2: PTC at the target Reynolds number
     set_re(re_target)
-    solver.solve_ptc(tol=ptc_tol, sigma0=20.0, sigma_min=1e-3,
-                     maxiter=400, lin_tol=1e-3)
+    solver.solve_ptc(tol=ptc_tol, sigma0=sigma0, sigma_min=1e-3,
+                     maxiter=ptc_maxiter, lin_tol=1e-3)
     rec = solver.monitor.records[-1]
     log["stages"].append({"stage": f"ptc Re={re_target:g}",
                           "ptc_its": rec["iterations"],
@@ -143,7 +290,22 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     sizes = [int(a) for a in args] or [64, 128]
-    results = [run_cavity(n) for n in sizes]
+    if "--ghia" in sys.argv[1:]:
+        # refinement table only: march each size to steady, record the
+        # Ghia centerline extremum (no Newton/refinement stages)
+        rows = []
+        for n in sizes:
+            _, info = march_to_steady(n)
+            rows.append({"n": n, "u_min": info["u_min"],
+                         "y_at_umin": info["y_at_umin"],
+                         "steps": info["steps"],
+                         "settle_rate": info["settle_rate"],
+                         "seconds": info["seconds"]})
+            print(json.dumps(rows[-1]), flush=True)
+        print(json.dumps({"ghia_table": rows, "ghia": GHIA_RE1000}))
+        return
+    use_march = "--march" in sys.argv[1:]
+    results = [run_cavity(n, use_march=use_march) for n in sizes]
     print(json.dumps({"summary": [
         {"n": r["n_cells"], "u_min": r["u_min"],
          "residual_f64": r["stages"][-1]["residual_f64"]}

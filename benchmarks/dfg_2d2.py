@@ -86,10 +86,26 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
         markers.ids_with_value(bm["cylinder"])))
     cyl_perm = jnp.asarray(fast.invU[cyl_nodes])
 
+    # Schafer-Turek pressure-difference probes at the front/back stagnation
+    # points (1.5, 2) / (2.5, 2): exact P1 interpolation in the containing
+    # cells (cell + barycentric weights extracted once on the host; the
+    # in-scan evaluation is a 3-point dot product).  With the even cylinder
+    # polygon count both points are vertices and the weights are one-hot.
+    # Literature (2D-2): dP(t0 + T/2) in [2.46, 2.50], t0 = time of max lift.
+    from navierstokes_tpu.fem import elements
+    probe_pts = np.array([[1.5, 2.0], [2.5, 2.0]])
+    pcells, pxi = space._locate_cells(probe_pts)
+    pN, _ = elements.tabulate(1, pxi, space.dim)
+    probe_idx = jnp.asarray(fast.invP[space.cell_pnodes[np.asarray(pcells)]])
+    probe_w = jnp.asarray(np.asarray(pN), config.default_dtype())
+
     def reaction(ops, u_new, p, u_n, u_nm1, a, k):
-        r = ((a[0] / k) * ops.M.apply(u_new)
-             + (a[1] / k) * ops.M.apply(u_n)
-             + (a[2] / k) * ops.M.apply(u_nm1)
+        # form the O(1) BDF combination FIRST, then apply M once: three
+        # separate M terms scaled by a0/k = 300 amplify f32 round-off
+        # ~300x into the nodal reactions (measured sigma = 0.034 on c_D
+        # step-to-step -- larger than the physical per-step change)
+        dudt = (a[0] * u_new + a[1] * u_n + a[2] * u_nm1) / k
+        r = (ops.M.apply(dudt)
              + conv_apply(ops, u_new, 1.0)
              + visc * ops.K.apply(u_new)
              + jnp.stack([G.apply(p) for G in ops.G], axis=0))
@@ -115,7 +131,10 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
                 ops, masks, u, u_old, p, phi, a2, e2, None, kk, None,
                 with_residuals=False, **step.static)
             F = reaction(ops, u_new, p_new, u, u_old, a2, kk)
-            return (u_new, u, p_new, phi_new), 2.0 * F
+            dP = (probe_w[0] @ p_new[probe_idx[0]]
+                  - probe_w[1] @ p_new[probe_idx[1]])
+            return (u_new, u, p_new, phi_new), \
+                jnp.concatenate([2.0 * F, dP[None]])
 
         state, forces = lax.scan(body, state, None, length=CHUNK)
         return state, forces
@@ -191,7 +210,7 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
 
     n_steps = int(round((t_end - t_start) / dt))
     n_chunks = max(n_steps // CHUNK, 1)
-    series = np.zeros((n_chunks * CHUNK, 3))
+    series = np.zeros((n_chunks * CHUNK, 4))
     state = (u, u_old, p, phi)
     t0 = time.time()
     for c in range(n_chunks):
@@ -220,6 +239,10 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
         prev = np.loadtxt("results/dfg_2d2_coefficients%s.txt" % suffix) \
             if os.path.exists("results/dfg_2d2_coefficients%s.txt" % suffix) \
             else None
+    if prev is not None and prev.shape[1] < series.shape[1]:
+        # older series predate the dP column: pad with NaN
+        pad = np.full((len(prev), series.shape[1] - prev.shape[1]), np.nan)
+        prev = np.hstack([prev, pad])
     full = series if prev is None else np.vstack([prev, series])
     np.savetxt(f"results/dfg_2d2_coefficients{suffix}.txt", full)
     np.savez(f"results/dfg_2d2_state{suffix}.npz",
@@ -245,6 +268,13 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
                   "t_end": float(series[-1, 0]),
                   "lit_cd": [3.22, 3.24], "lit_cl": [0.99, 1.01],
                   "lit_st": [0.295, 0.305]}
+        # dP(t0 + T/2), t0 = time of max lift inside the window
+        if np.all(np.isfinite(window[:, 3])) and St > 0:
+            i0 = int(np.argmax(window[:, 2]))
+            i_half = i0 + int(round(0.5 / St / dt))
+            if i_half < len(window):
+                result["dP"] = round(float(window[i_half, 3]), 4)
+                result["lit_dP"] = [2.46, 2.50]
         print(json.dumps(result))
     return series
 

@@ -349,7 +349,10 @@ def channel_with_cylinder(resolution=1.0, curved=True):
     rad_poly = rad if curved else rad / math.cos(math.pi / n_c)
     growth, r_k, h_k = 1.25, rad_poly, h_cyl
     while r_k < 2.6 * rad:
-        n_k = max(16, int(round(2.0 * math.pi * r_k / h_k)))
+        # boundary ring: the even n_c (NOT the rounded circumference count,
+        # which can be odd and miss the angle-pi front stagnation vertex)
+        n_k = n_c if r_k == rad_poly \
+            else max(16, int(round(2.0 * math.pi * r_k / h_k)))
         ang = np.linspace(0.0, 2.0 * math.pi, n_k, endpoint=False)
         ang += 0.5 * (r_k - rad)  # stagger rings
         pts.append(np.stack([cx + r_k * np.cos(ang),
