@@ -55,8 +55,50 @@ def centerline_umin(space, x_flat):
     return float(ux[i]), float(ys[i])
 
 
+def _lattice_order(coords, m):
+    """Permutation taking node order -> row-major (ix*(m+1)+iy) lattice
+    order on a uniform unit-square grid with spacing 1/m."""
+    ij = np.rint(coords * m).astype(int)
+    key = ij[:, 0] * (m + 1) + ij[:, 1]
+    order = np.argsort(key)
+    assert np.array_equal(key[order], np.arange((m + 1) ** 2))
+    return order
+
+
+def _resample(grid_vals, m_from, m_to):
+    """Bilinear resample (m_from+1)^2 lattice values to (m_to+1)^2."""
+    grid = grid_vals.reshape(m_from + 1, m_from + 1, -1)
+    s = np.linspace(0.0, m_from, m_to + 1)
+    i0 = np.clip(np.floor(s).astype(int), 0, m_from - 1)
+    w = s - i0
+    gx = grid[i0] * (1 - w)[:, None, None] + grid[i0 + 1] * w[:, None, None]
+    gy = (gx[:, i0] * (1 - w)[None, :, None]
+          + gx[:, i0 + 1] * w[None, :, None])
+    return gy.reshape((m_to + 1) ** 2, -1)
+
+
+def interp_cavity_state(space1, x1, n1, space2, n2):
+    """Bilinearly interpolate a flat mixed cavity state between uniform
+    hyper_cube Taylor-Hood lattices (P2 nodes fill the half-step lattice
+    i/(2n), P1 nodes the full-step lattice i/n) -- a coarse steady state
+    seeds the fine march, so each refinement costs a short settle instead
+    of a full transient."""
+    dim = space1.dim
+    u1 = x1[:dim * space1.n_unodes].reshape(space1.n_unodes, dim)
+    p1 = x1[dim * space1.n_unodes:]
+    u2 = np.empty((space2.n_unodes, dim))
+    p2 = np.empty(space2.n_pnodes)
+    u2[_lattice_order(space2.u_coords, 2 * n2)] = \
+        _resample(u1[_lattice_order(space1.u_coords, 2 * n1)], 2 * n1, 2 * n2)
+    p2[_lattice_order(space2.p_coords, n2)] = \
+        _resample(p1[_lattice_order(space1.p_coords, n1), None],
+                  n1, n2)[:, 0]
+    return np.concatenate([u2.reshape(-1), p2])
+
+
 def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
-                    cg_iters=(18, 300, 10), settle_tol=3e-6):
+                    cg_iters=(18, 300, 10), settle_tol=3e-6, x0=None,
+                    _retries=2):
     """Banded SBDF-2 pseudo-time march to the steady cavity state.
 
     The TPU-native globalization: instead of the reference's LU-backed
@@ -65,6 +107,10 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
     cavity is stable at Re=1000, so the transient path IS the continuation.
     Returns the mixed-space state vector (host float64) for the Newton /
     refinement stages plus the marched centerline extremum.
+
+    ``x0``: optional flat mixed state (e.g. interpolated from a coarser
+    lattice) seeding the march.  SBDF-2's explicit convection limits the
+    advective CFL; on divergence (NaN) the march auto-retries at dt/2.
     """
     import jax
     import jax.numpy as jnp
@@ -93,8 +139,12 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
         space.n_unodes, space.dim).T[:, fast.permU]
     if dt is None:
         # SBDF-2 convection is explicit: CFL on the P2 node spacing
-        # h/2 = 1/(2 n) with |u| <= 1 (lid speed)
-        dt = 0.6 / (2.0 * n_cells)
+        # h/2 = 1/(2 n) with |u| <= 1 (lid speed).  0.25 rather than the
+        # advective limit: at Re=1000 the grid-Peclet modes see almost no
+        # implicit viscous damping, and the extrapolated convection is
+        # only neutrally stable on the imaginary axis (CFL 0.6 diverged
+        # at t~30 on 64^2)
+        dt = 0.25 / (2.0 * n_cells)
     step = build_planar_projection_step(
         fast, visc=1.0 / re_target, dt=dt, cg_iters=cg_iters,
         vel_bc=(to_planar(v_mask), to_planar(v_vals)), pres_bc_mask=None)
@@ -121,10 +171,15 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
         state, _ = lax.scan(body, state, None, length=chunk_len)
         return state
 
-    u0 = np.zeros((space.n_unodes, space.dim))
+    if x0 is not None:
+        u0 = np.array(x0[:space.n_velocity_dofs]).reshape(-1, space.dim)
+        p0 = np.array(x0[space.n_velocity_dofs:])
+    else:
+        u0 = np.zeros((space.n_unodes, space.dim))
+        p0 = np.zeros(space.n_pnodes)
     u0.reshape(-1)[v_mask] = v_vals[v_mask]
     u = fast.permute_velocity(jnp.asarray(u0.T, dtype))
-    p = jnp.zeros(space.n_pnodes, dtype)
+    p = fast.permute_pressure(jnp.asarray(p0, dtype))
     phi = jnp.zeros_like(p)
     # BDF-1 startup
     u_new, p, phi = step(u, u, p, phi, a1, e1)
@@ -139,9 +194,17 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
         state = chunk(step.ops, step.masks, state)
         done_chunks = c + 1
         u_now = np.asarray(state[0], np.float64)
+        if not np.isfinite(u_now).all():
+            if _retries > 0:
+                print(f"[N={n_cells}] march diverged at dt={dt:g}; "
+                      "retrying at dt/2", flush=True)
+                return march_to_steady(n_cells, re_target, dt / 2.0, t_max,
+                                       cg_iters, settle_tol, x0,
+                                       _retries - 1)
+            raise RuntimeError(f"march diverged at N={n_cells}, dt={dt:g}")
         rate = float(np.max(np.abs(u_now - u_prev))) / (chunk_len * dt)
         u_prev = u_now
-        if (c + 1) % 10 == 0 or rate < settle_tol:
+        if c == 0 or (c + 1) % 10 == 0 or rate < settle_tol:
             t_now = (c + 1) * chunk_len * dt
             print(f"  march t={t_now:7.1f}  max|du/dt|={rate:.2e}  "
                   f"[{(time.time()-t0)/((c+1)*chunk_len)*1e3:.2f} ms/step]",
@@ -291,14 +354,25 @@ def main():
         jax.config.update("jax_enable_x64", True)
     sizes = [int(a) for a in args] or [64, 128]
     if "--ghia" in sys.argv[1:]:
-        # refinement table only: march each size to steady, record the
-        # Ghia centerline extremum (no Newton/refinement stages)
-        rows = []
+        # refinement table: march each size to steady and record the Ghia
+        # centerline extremum.  Sizes cascade -- each fine march is seeded
+        # by the bilinearly interpolated coarser steady state, so only the
+        # coarsest pays the full transient
+        from navierstokes_tpu.fem.spaces import TaylorHoodSpace
+        from navierstokes_tpu.mesh import hyper_cube
+
+        rows, prev = [], None
         for n in sizes:
-            _, info = march_to_steady(n)
+            space_n = TaylorHoodSpace(hyper_cube(2, n)[0])
+            x0 = None if prev is None else interp_cavity_state(
+                prev[1], prev[2], prev[0], space_n, n)
+            x, info = march_to_steady(
+                n, t_max=(250.0 if x0 is None else 100.0), x0=x0)
+            prev = (n, space_n, x)
             rows.append({"n": n, "u_min": info["u_min"],
                          "y_at_umin": info["y_at_umin"],
-                         "steps": info["steps"],
+                         "steps": info["steps"], "dt": info["dt"],
+                         "seeded": x0 is not None,
                          "settle_rate": info["settle_rate"],
                          "seconds": info["seconds"]})
             print(json.dumps(rows[-1]), flush=True)
