@@ -119,9 +119,14 @@ def main(resolution=1.8, dt=0.02):
     cd_max = float(series[:, 1].max())
     cl_max = float(series[:, 2].max())
     t_cd = float(series[np.argmax(series[:, 1]), 0])
+    # end-of-period pressure difference dP(t=8s), i.e. t*=80: exact P1
+    # interpolation at the front/back stagnation points (mesh vertices)
+    dp_end = space.eval_pressure(np.asarray(p), [[1.5, 2.0], [2.5, 2.0]])
     result = {"cd_max": round(cd_max, 4), "cl_max": round(cl_max, 4),
               "t_cd_max": round(t_cd, 3), "dofs": space.n_dofs, "dt": dt,
-              "lit_cd": [2.93, 2.97], "lit_cl": [0.47, 0.49]}
+              "dP_end": round(float(dp_end[0] - dp_end[1]), 4),
+              "lit_cd": [2.93, 2.97], "lit_cl": [0.47, 0.49],
+              "lit_dP_end": [-0.115, -0.105]}
     print(json.dumps(result))
     return series
 
