@@ -21,6 +21,7 @@ Usage: python benchmarks/cavity_re1000.py [N ...]   (default 64 128)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -262,7 +263,15 @@ def run_cavity(n_cells, re_target=1000.0, ramp=(100.0, 300.0),
         # TPU-native globalization: banded transient march to the steady
         # attractor replaces the Newton Reynolds ramp (the cavity is
         # stable at Re=1000, so the transient path IS the continuation)
-        x0, info = march_to_steady(n_cells, re_target)
+        saved = f"results/cavity_steady_N{n_cells}.npz"
+        if os.path.exists(saved):
+            d = np.load(saved)
+            x0, info = d["x"], json.loads(str(d["info"]))
+            print(f"[N={n_cells}] reusing marched state {saved}", flush=True)
+        else:
+            x0, info = march_to_steady(n_cells, re_target)
+            os.makedirs("results", exist_ok=True)
+            np.savez(saved, x=x0, info=json.dumps(info))
         log["stages"].append(info)
         set_re(re_target)
         solver._setup_problem()
@@ -366,8 +375,16 @@ def main():
             space_n = TaylorHoodSpace(hyper_cube(2, n)[0])
             x0 = None if prev is None else interp_cavity_state(
                 prev[1], prev[2], prev[0], space_n, n)
-            x, info = march_to_steady(
-                n, t_max=(250.0 if x0 is None else 100.0), x0=x0)
+            saved = f"results/cavity_steady_N{n}.npz"
+            if os.path.exists(saved):
+                d = np.load(saved)
+                x, info = d["x"], json.loads(str(d["info"]))
+                print(f"[N={n}] reusing {saved}", flush=True)
+            else:
+                x, info = march_to_steady(
+                    n, t_max=(250.0 if x0 is None else 100.0), x0=x0)
+                os.makedirs("results", exist_ok=True)
+                np.savez(saved, x=x, info=json.dumps(info))
             prev = (n, space_n, x)
             rows.append({"n": n, "u_min": info["u_min"],
                          "y_at_umin": info["y_at_umin"],
