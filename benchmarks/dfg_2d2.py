@@ -212,6 +212,32 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
     n_chunks = max(n_steps // CHUNK, 1)
     series = np.zeros((n_chunks * CHUNK, 4))
     state = (u, u_old, p, phi)
+
+    os.makedirs("results", exist_ok=True)
+    suffix = "" if resolution == 1.3 else f"_res{resolution:g}"
+    prev = None
+    if resume is not None:
+        prev = np.loadtxt("results/dfg_2d2_coefficients%s.txt" % suffix) \
+            if os.path.exists("results/dfg_2d2_coefficients%s.txt" % suffix) \
+            else None
+    if prev is not None and prev.ndim == 2 and prev.shape[1] < 4:
+        # older series predate the dP column: pad with NaN
+        pad = np.full((len(prev), 4 - prev.shape[1]), np.nan)
+        prev = np.hstack([prev, pad])
+
+    def save(series_done, st):
+        uu, uo, pp, ff = st
+        full = series_done if prev is None \
+            else np.vstack([prev, series_done])
+        np.savetxt(f"results/dfg_2d2_coefficients{suffix}.txt", full)
+        np.savez(f"results/dfg_2d2_state{suffix}.npz",
+                 u=np.asarray(fast.unpermute_velocity(uu).T.reshape(-1)),
+                 u_old=np.asarray(
+                     fast.unpermute_velocity(uo).T.reshape(-1)),
+                 p=np.asarray(fast.unpermute_pressure(pp)),
+                 phi=np.asarray(fast.unpermute_pressure(ff)),
+                 t=series_done[-1, 0], resolution=resolution)
+
     t0 = time.time()
     for c in range(n_chunks):
         state, forces = chunk(step.ops, step.masks, state)
@@ -230,27 +256,12 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
                   f"c_D={f[-1, 0]:7.4f}  c_L={f[-1, 1]:8.4f}  "
                   f"[{(time.time() - t0) / done * 1e3:.2f} ms/step]",
                   flush=True)
-    u, u_old, p, phi = state
+            # periodic checkpoint: long runs survive tunnel outages /
+            # wall-clock kills and resume from the latest saved state
+            save(series[:i0 + CHUNK], state)
 
-    os.makedirs("results", exist_ok=True)
-    suffix = "" if resolution == 1.3 else f"_res{resolution:g}"
-    prev = None
-    if resume is not None:
-        prev = np.loadtxt("results/dfg_2d2_coefficients%s.txt" % suffix) \
-            if os.path.exists("results/dfg_2d2_coefficients%s.txt" % suffix) \
-            else None
-    if prev is not None and prev.shape[1] < series.shape[1]:
-        # older series predate the dP column: pad with NaN
-        pad = np.full((len(prev), series.shape[1] - prev.shape[1]), np.nan)
-        prev = np.hstack([prev, pad])
-    full = series if prev is None else np.vstack([prev, series])
-    np.savetxt(f"results/dfg_2d2_coefficients{suffix}.txt", full)
-    np.savez(f"results/dfg_2d2_state{suffix}.npz",
-             u=np.asarray(fast.unpermute_velocity(u).T.reshape(-1)),
-             u_old=np.asarray(fast.unpermute_velocity(u_old).T.reshape(-1)),
-             p=np.asarray(fast.unpermute_pressure(p)),
-             phi=np.asarray(fast.unpermute_pressure(phi)),
-             t=series[-1, 0], resolution=resolution)
+    series = series[:np.count_nonzero(series[:, 0])]
+    save(series, state)
 
     # evaluate over the final window (shedding fully developed)
     window = series[series[:, 0] > series[-1, 0] - 20.0]
