@@ -26,10 +26,19 @@ import jax.numpy as jnp
 from navierstokes_tpu.assembly.fastop import conv_apply
 
 
-def _pcg(matvec, b, x0, iters, inv_diag=None, project=None, rtol=None):
-    """Preconditioned CG (planar-friendly).  Returns ``(x, ||r||)``."""
+def _pcg(matvec, b, x0, iters, inv_diag=None, project=None, rtol=None,
+         precond_fn=None):
+    """Preconditioned CG (planar-friendly).  Returns ``(x, ||r||)``.
+
+    ``precond_fn`` (e.g. an AMG V-cycle) takes precedence over the Jacobi
+    ``inv_diag``; its output is re-projected when a nullspace projector is
+    active (deflated PCG) so the search stays in the mean-free subspace.
+    """
 
     def precond(r):
+        if precond_fn is not None:
+            z = precond_fn(r)
+            return z if project is None else project(z)
         return r if inv_diag is None else inv_diag * r
 
     def body(state):
@@ -68,10 +77,11 @@ def _pcg(matvec, b, x0, iters, inv_diag=None, project=None, rtol=None):
 
 
 @partial(jax.jit, static_argnames=("visc", "conv_coeff", "cg_iters",
-                                   "cg_rtol", "with_residuals"))
+                                   "cg_rtol", "with_residuals",
+                                   "p_precond"))
 def _step_core(ops, masks, u, u_old, p, phi, alpha, eta, bc_values, k,
                body_rhs, *, visc, conv_coeff, cg_iters, cg_rtol,
-               with_residuals):
+               with_residuals, p_precond=None):
     v_free, v_vals_static, p_free = masks
     a0, a1, a2 = alpha
 
@@ -136,7 +146,7 @@ def _step_core(ops, masks, u, u_old, p, phi, alpha, eta, bc_values, k,
     rhs = project_p((a0 / k) * div(u_star))
     phi_new, res_p = _pcg(stiff_masked, rhs, project_p(phi), cg_iters[1],
                           inv_diag=inv(ops.diag_l), project=project_p,
-                          rtol=cg_rtol)
+                          rtol=cg_rtol, precond_fn=p_precond)
 
     # (3) velocity correction
     b_corr = mass_u(u_star) - (k / a0) * grad(phi_new)
@@ -153,10 +163,61 @@ def _step_core(ops, masks, u, u_old, p, phi, alpha, eta, bc_values, k,
     return u_new, p_new, phi_new
 
 
+def build_poisson_amg(fast, pres_bc_mask=None, **amg_kwargs):
+    """AMG V-cycle preconditioner for the planar step's pressure Poisson,
+    in the engine's permuted P1 numbering.
+
+    Fixed Jacobi-CG sweeps on the Poisson solve degrade as O(1/h) -- the
+    DFG/cavity marches pay 250-300 CG iterations per step where an AMG
+    V-cycle holds the count h-independent (~10-20).  Setup is host-side
+    scipy (once per mesh); ``apply`` is jittable and scan-safe.
+
+    ``pres_bc_mask``: permuted boolean mask of prescribed-pressure nodes
+    (same convention as ``build_planar_projection_step``); ``None`` =
+    enclosed flow (semidefinite Laplacian regularized with a small mass
+    shift -- the outer CG still projects out the mean).
+    """
+    import numpy as np
+
+    from navierstokes_tpu.linalg.amg import AMG, pressure_laplacian_scipy
+
+    space = fast.space
+    perm = np.asarray(fast.permP)
+    if pres_bc_mask is not None:
+        dofs = perm[np.where(np.asarray(pres_bc_mask))[0]]
+        A = pressure_laplacian_scipy(space, dirichlet_dofs=dofs)
+    else:
+        # unshifted semidefinite Laplacian: the coarsest level is a pinv
+        # and the outer CG's mean-free projection keeps everything in the
+        # SPD subspace (measured: a mass shift only degrades the rate)
+        A = pressure_laplacian_scipy(space)
+    amg = AMG(A[perm][:, perm], **amg_kwargs)
+
+    # the V-cycle's level-0 matvec (smoother + residual) dominates its
+    # cost; route it through the gather-free banded operator instead of
+    # the device CSR's gather/segment-sum path -- identical matrix
+    if amg.levels:
+        if pres_bc_mask is not None:
+            p_free = jnp.where(jnp.asarray(np.asarray(pres_bc_mask)),
+                               0.0, 1.0).astype(amg.levels[0]["dinv"].dtype)
+
+            def mv(v):
+                return p_free * fast.L.apply(p_free * v) + (1.0 - p_free) * v
+        else:
+            mv = fast.L.apply
+
+        class _Banded0:
+            matvec = staticmethod(mv)
+
+        amg.levels[0]["A"] = _Banded0()
+    return amg
+
+
 def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
                                  vel_bc=None, pres_bc_mask=None,
                                  conv_coeff=1.0, cg_rtol=None,
-                                 with_residuals=False):
+                                 with_residuals=False,
+                                 poisson_precond=None):
     """Build ``step(u, u_old, p, phi, alpha, eta, ...)`` (planar layout).
 
     ``fast``: a FastTaylorHood engine.  Velocity states are
@@ -175,9 +236,15 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
     velocity Dirichlet data), ``k`` (step size; defaults to ``dt``),
     ``body_rhs`` (pre-assembled velocity load).
 
+    ``poisson_precond``: ``None`` (Jacobi), ``"amg"`` (build an AMG
+    V-cycle via :func:`build_poisson_amg`), or any jittable callable
+    ``r -> z`` in permuted pressure numbering.
+
     Matches the semantics of solvers/fused_step.py:78 (same scheme, planar
     layout); reference scheme: scripts/test_ipcs.py:102-171.
     """
+    if poisson_precond == "amg":
+        poisson_precond = build_poisson_amg(fast, pres_bc_mask).apply
     ops = fast.ops
     dtype = ops.diag_m.dtype
     if vel_bc is not None:
@@ -202,7 +269,8 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
                           visc=float(visc), conv_coeff=float(conv_coeff),
                           cg_iters=tuple(int(i) for i in cg_iters),
                           cg_rtol=None if cg_rtol is None else float(cg_rtol),
-                          with_residuals=bool(with_residuals))
+                          with_residuals=bool(with_residuals),
+                          p_precond=poisson_precond)
 
     # expose the traced-argument pieces so callers embedding the step in a
     # LARGER jitted program (e.g. a lax.scan over steps) can pass the
@@ -214,5 +282,6 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
     step.static = dict(
         visc=float(visc), conv_coeff=float(conv_coeff),
         cg_iters=tuple(int(i) for i in cg_iters),
-        cg_rtol=None if cg_rtol is None else float(cg_rtol))
+        cg_rtol=None if cg_rtol is None else float(cg_rtol),
+        p_precond=poisson_precond)
     return step

@@ -179,3 +179,74 @@ def test_3d_matches_reference():
     space = TaylorHoodSpace(mesh)
     fast = FastTaylorHood(space)
     _check_against_reference(space, fast)
+
+
+def test_planar_step_amg_poisson():
+    """poisson_precond="amg" reaches the Jacobi-converged trajectory at a
+    fraction of the Poisson iteration count (h-independent V-cycle vs
+    O(1/h) fixed Jacobi sweeps), on both pressure-BC classes:
+    enclosed (mean-free deflated CG) and pressure-Dirichlet."""
+    from navierstokes_tpu.fem.bcs import PressureBCType, VelocityBCType
+    from navierstokes_tpu.fem.dirichlet import compile_dirichlet_bcs
+    from navierstokes_tpu.mesh.generators import \
+        HyperCubeBoundaryMarkers as M
+    from navierstokes_tpu.solvers.planar_step import \
+        build_planar_projection_step
+
+    mesh, markers = hyper_cube(2, 24)
+    space = TaylorHoodSpace(mesh)
+    lid = lambda x: np.stack([np.ones(len(x)), np.zeros(len(x))], axis=1)
+    vbc, _ = compile_dirichlet_bcs(space, markers, [
+        (VelocityBCType.no_slip, M.left.value, None),
+        (VelocityBCType.no_slip, M.right.value, None),
+        (VelocityBCType.no_slip, M.bottom.value, None),
+        (VelocityBCType.function, M.top.value, lid)], [])
+    pbc, _ = compile_dirichlet_bcs(space, markers, [], [
+        (PressureBCType.constant, M.right.value, 0.0)])
+    n_u = space.n_velocity_dofs
+    v_mask = np.zeros(n_u, bool)
+    v_mask[np.asarray(vbc.dofs)] = True
+    v_vals = np.zeros(n_u)
+    v_vals[np.asarray(vbc.dofs)] = vbc.values()
+    p_mask = np.zeros(space.n_pnodes, bool)
+    p_mask[np.asarray(pbc.dofs) - space.pressure_offset] = True
+
+    fast = FastTaylorHood(space)
+    to_planar = lambda flat: jnp.asarray(np.asarray(flat).reshape(
+        space.n_unodes, space.dim).T[:, fast.permU])
+
+    u0 = np.zeros((space.n_unodes, space.dim))
+    u0.reshape(-1)[v_mask] = v_vals[v_mask]
+    dt64 = jnp.float64
+    one = lambda v: jnp.asarray(v, dt64)
+    alphas = [(one(1.0), one(-1.0), one(0.0)), (one(1.5), one(-2.0),
+                                                one(0.5))]
+    etas = [(one(1.0), one(0.0)), (one(2.0), one(-1.0))]
+
+    for pm in (None, np.asarray(p_mask)[fast.permP]):
+        common = dict(visc=1e-2, dt=1e-2,
+                      vel_bc=(to_planar(v_mask), to_planar(v_vals)),
+                      pres_bc_mask=pm, with_residuals=True)
+        step_j = build_planar_projection_step(
+            fast, cg_iters=(15, 400, 8), **common)
+        step_a = build_planar_projection_step(
+            fast, cg_iters=(15, 14, 8), poisson_precond="amg", **common)
+
+        def run(step, n=3):
+            u = fast.permute_velocity(jnp.asarray(u0.T, dt64))
+            uo, p = u, jnp.zeros(space.n_pnodes, dt64)
+            phi = jnp.zeros_like(p)
+            res = None
+            for i in range(n):
+                a, e = (alphas[0], etas[0]) if i == 0 \
+                    else (alphas[1], etas[1])
+                un, p, phi, res = step(u, uo, p, phi, a, e)
+                uo, u = u, un
+            return u, p, np.asarray(res)
+
+        u_j, p_j, _ = run(step_j)
+        u_a, p_a, res_a = run(step_a)
+        # 14 V-cycle-CG iterations track the 400-sweep Jacobi solution
+        assert res_a[1] < 1e-8
+        np.testing.assert_allclose(u_a, u_j, rtol=0, atol=1e-8)
+        np.testing.assert_allclose(p_a, p_j, rtol=0, atol=1e-7)
