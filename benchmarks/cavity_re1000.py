@@ -146,9 +146,15 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
         # only neutrally stable on the imaginary axis (CFL 0.6 diverged
         # at t~30 on 64^2)
         dt = 0.25 / (2.0 * n_cells)
+    # AMG V-cycle on the pressure Poisson: ~30 preconditioned iterations
+    # replace the 300 Jacobi-CG sweeps per step (NS_CAVITY_AMG=0 reverts)
+    use_amg = os.environ.get("NS_CAVITY_AMG", "1") == "1"
+    if use_amg:
+        cg_iters = (cg_iters[0], min(cg_iters[1], 30), cg_iters[2])
     step = build_planar_projection_step(
         fast, visc=1.0 / re_target, dt=dt, cg_iters=cg_iters,
-        vel_bc=(to_planar(v_mask), to_planar(v_vals)), pres_bc_mask=None)
+        vel_bc=(to_planar(v_mask), to_planar(v_vals)), pres_bc_mask=None,
+        poisson_precond="amg" if use_amg else None)
 
     dtype = config.default_dtype()
     one = lambda v: jnp.asarray(v, dtype)
@@ -305,6 +311,16 @@ def run_cavity(n_cells, re_target=1000.0, ramp=(100.0, 300.0),
     # stage 3: Newton handoff from the PTC iterate.  On meshes that do
     # not resolve the cell Peclet (<~2) the steady Newton systems sit
     # outside the PCD envelope -- deepen PTC instead and say so.
+    # Release the PTC stage's compiled programs first: the tunneled TPU
+    # worker crashes when the sigma-shifted PTC executables and the
+    # unshifted Newton FGMRES program coexist (observed 2026-08-18).
+    import gc
+
+    import jax
+
+    solver._pcd_ctx = None
+    jax.clear_caches()
+    gc.collect()
     try:
         solver.solve()
         rec = solver.monitor.records[-1]

@@ -263,7 +263,9 @@ def build_operator(A, dtype, circulant_cap=96, window_cap=6144,
         uniq = np.unique(off)
         if len(uniq) <= circulant_cap:
             idx = np.searchsorted(uniq, off)
-            band = np.zeros((len(uniq), n_cols))
+            # stage in the device dtype: shipping f64 and converting
+            # on-device doubles both the host footprint and the transfer
+            band = np.zeros((len(uniq), n_cols), dtype=np.dtype(dtype))
             band[idx, A.row] = A.data
             return CirculantBand(uniq, band, dtype)
     # affine block-window band (centered-mod offsets: periodic wrap
@@ -278,18 +280,80 @@ def build_operator(A, dtype, circulant_cap=96, window_cap=6144,
             f"{name or 'operator'}: window {W} exceeds cap {window_cap} "
             f"(offsets {len(np.unique(np.mod(A.col - A.row, n_cols))) if n_rows == n_cols else '-'})")
     nblk = -(-n_rows // RB)
-    est = nblk * RB * W * jnp.dtype(dtype).itemsize
+    W_pad = -(-W // stride) * stride    # pre-pad to the stride multiple
+    est = nblk * RB * W_pad * jnp.dtype(dtype).itemsize
     if est > max_bytes:
         raise StructureError(
             f"{name or 'operator'}: band storage {est/1e9:.2f} GB exceeds "
             f"NS_FASTOP_MAX_BYTES={max_bytes/1e9:.2f} GB")
-    bandmat = np.zeros((nblk, RB, W))
+    bandmat = np.zeros((nblk, RB, W_pad), dtype=np.dtype(dtype))
     bandmat[b, A.row % RB, rel + b_lo] = A.data
     return AffineBand(n_rows, n_cols, stride, b_lo, bandmat, dtype)
 
 
 class StructureError(ValueError):
     """No gather-free format fits this operator."""
+
+
+class GatherOp:
+    """Sorted-COO rim operator (device gather + scatter-add).
+
+    The rectangular couplings (gradient/divergence) apply only ~3x per
+    projection step -- against the hundreds of banded CG matvecs on
+    M/K/L, their gather cost is noise, while their *band* storage grows
+    with the grid line length (O(N^1.5) total: ~1 GB each at 256^2,
+    16 GB at 512^2).  Above ``NS_FASTOP_RIM_BYTES`` the engine stores
+    them as plain sorted COO instead.
+    """
+
+    def __init__(self, A, dtype):
+        coo = A.tocoo()
+        coo.sum_duplicates()
+        order = np.lexsort((coo.col, coo.row))
+        self.n_rows, self.n_cols = A.shape
+        self.rows = jnp.asarray(coo.row[order].astype(np.int32))
+        self.cols = jnp.asarray(coo.col[order].astype(np.int32))
+        self.vals = jnp.asarray(coo.data[order].astype(np.dtype(dtype)))
+
+    def apply(self, x):
+        """x: (..., n_cols) -> (..., n_rows)."""
+        contrib = self.vals * x[..., self.cols]
+        out = jnp.zeros(x.shape[:-1] + (self.n_rows,), dtype=contrib.dtype)
+        return out.at[..., self.rows].add(contrib)
+
+    @property
+    def nbytes(self):
+        return (self.vals.size * self.vals.dtype.itemsize
+                + self.rows.size * 8)
+
+
+def _go_flatten(op):
+    return (op.rows, op.cols, op.vals), (op.n_rows, op.n_cols)
+
+
+def _go_unflatten(aux, children):
+    op = object.__new__(GatherOp)
+    op.n_rows, op.n_cols = aux
+    op.rows, op.cols, op.vals = children
+    return op
+
+
+jax.tree_util.register_pytree_node(GatherOp, _go_flatten, _go_unflatten)
+
+
+def build_rim_operator(A, dtype, circulant_cap=96, window_cap=6144,
+                       name="", max_bytes=None):
+    """Band format if it fits the rim budget, else sorted-COO gather."""
+    import os
+
+    rim_cap = float(os.environ.get("NS_FASTOP_RIM_BYTES", 2.5e8))
+    if max_bytes is not None:
+        rim_cap = min(rim_cap, max_bytes)
+    try:
+        return build_operator(A, dtype, circulant_cap, window_cap,
+                              name=name, max_bytes=rim_cap)
+    except StructureError:
+        return GatherOp(A, dtype)
 
 
 def _cb_flatten(op):
@@ -405,28 +469,30 @@ class FastTaylorHood:
             bnd = bnd[rng.choice(len(bnd), size=1024, replace=False)]
         sample = cu[np.unique(np.concatenate([pick, bnd]))]
         pc = perm[sample]                          # (ns, nn) permuted ids
-        # the square (uu/pp) operators can always fall back to the
-        # circulant format, so only the RECTANGULAR gradient -- always
-        # an affine band -- reliably explodes in 3D: estimate its window
-        # with the induced pressure ordering approximated by scaling the
-        # colocated vertex u-node positions
+        # the rectangular G/D couplings always have the sorted-COO rim
+        # fallback, so feasibility hinges on the SQUARE velocity ops
+        # (per-CG-iteration matvecs): circulant whenever the sampled
+        # stencil mod-offset count stays under the cap (class grids in
+        # any dimension), else the affine window must fit -- estimate
+        # its lower bound from the sampled stiffness pattern under lex
+        # (4x margin for the narrower RCM fallback ordering)
+        nn = pc.shape[1]
+        offs = np.mod(pc[:, :, None] - pc[:, None, :], Nu).ravel()
+        if len(np.unique(offs)) <= circulant_cap:
+            return
         item = np.dtype(config.default_dtype()).itemsize
         nblk = -(-Nu // RB)
-        Np_ = space.n_pnodes
-        nn1 = space.dim + 1
-        pu_rows = np.repeat(pc, nn1, axis=1).ravel()
-        p_approx = (perm[sample[:, :nn1]] * (Np_ / Nu)).astype(np.int64)
-        pu_cols = np.tile(p_approx, (1, pc.shape[1])).ravel()
-        strideG = max(int(round(RB * Np_ / Nu)), 1)
-        bg = pu_rows // RB
-        rel = np.mod(pu_cols - bg * strideG + Np_ // 2, Np_) - Np_ // 2
+        rows = np.repeat(pc, nn, axis=1).ravel()
+        cols = np.tile(pc, (1, nn)).ravel()
+        rel = np.mod(cols - (rows // RB) * RB + Nu // 2, Nu) - Nu // 2
         W_lb = int(rel.max() - rel.min() + 1)
         est = nblk * RB * W_lb * item
         if W_lb > 4 * window_cap or est > 3 * max_bytes:
             raise StructureError(
-                f"gradient band storage lower bound {est/1e9:.2f} GB / "
-                f"window {W_lb} from sampled cells rules out the banded "
-                f"formats (caps {max_bytes/1e9:.2f} GB / {window_cap}) "
+                f"velocity-stiffness band storage lower bound "
+                f"{est/1e9:.2f} GB / window {W_lb} from sampled cells "
+                f"rules out the banded formats (caps "
+                f"{max_bytes/1e9:.2f} GB / {window_cap}) "
                 f"-- refusing before assembly")
 
     def __init__(self, space, dtype=None, circulant_cap=96,
@@ -479,11 +545,15 @@ class FastTaylorHood:
         self.M = build_operator(pu(M), name="mass", **kw)
         self.K = build_operator(pu(K), name="stiffness", **kw)
         self.L = build_operator(pp(L), name="pressure-stiffness", **kw)
-        self.G = [build_operator(Gd.tocsr()[permU][:, permP],
-                                 name=f"gradient[{d}]", **kw)
+        # rectangular rim couplings: banded while cheap, sorted-COO gather
+        # beyond NS_FASTOP_RIM_BYTES (they apply ~3x/step vs the hundreds
+        # of banded CG matvecs, and their band width grows with the grid
+        # line length)
+        self.G = [build_rim_operator(Gd.tocsr()[permU][:, permP],
+                                     name=f"gradient[{d}]", **kw)
                   for d, Gd in enumerate(Gs)]
-        self.D = [build_operator(Gd.tocsr().T.tocsr()[permP][:, permU],
-                                 name=f"divergence[{d}]", **kw)
+        self.D = [build_rim_operator(Gd.tocsr().T.tocsr()[permP][:, permU],
+                                     name=f"divergence[{d}]", **kw)
                   for d, Gd in enumerate(Gs)]
         self.structured = all(
             isinstance(op, CirculantBand) for op in (self.M, self.K, self.L))
@@ -570,11 +640,13 @@ class FastTaylorHood:
         dt = self.dtype
         cu_p = self.invU[np.asarray(space.cell_unodes)]
         self._conv_cu = jnp.asarray(cu_p.astype(np.int32))
-        self._conv_W = jnp.asarray(space.integration_weights(), dtype=dt)
-        self._conv_N2 = jnp.asarray(space.N2, dtype=dt)
+        np_dt = np.dtype(dt)
+        self._conv_W = jnp.asarray(
+            np.asarray(space.integration_weights(), dtype=np_dt))
+        self._conv_N2 = jnp.asarray(np.asarray(space.N2, dtype=np_dt))
         g2 = np.einsum("qia,cqae->cqie", np.asarray(space.G2, np.float64),
                        np.asarray(space.Jinv_q, np.float64))
-        self._conv_g2 = jnp.asarray(g2, dtype=dt)
+        self._conv_g2 = jnp.asarray(g2.astype(np_dt))
         from navierstokes_tpu.parallel.sharded import build_scatter_transpose
 
         tab, _ = build_scatter_transpose(cu_p.astype(np.int32),

@@ -39,21 +39,30 @@ class ProjectionSolver(InstationarySolverBase):
     def __init__(self, mesh, boundary_markers, form_convective_term,
                  time_stepping, tol=None, max_iter=None,
                  form_viscous_term="reduced", linear_solver=None,
-                 cg_iters=(40, 400, 20), cg_rtol=1e-8,
-                 prefer_spectral=True, device_mesh=None):
+                 cg_iters=None, cg_rtol=1e-8,
+                 prefer_spectral=True, device_mesh=None,
+                 poisson_precond="amg"):
         """``device_mesh``: a ``jax.sharding.Mesh`` with >1 devices routes
         the whole step through the domain-decomposed halo layer
         (parallel/halo.py + solvers/halo_step.py): state sharded over the
-        mesh, halo exchange per matvec -- the multi-chip path."""
+        mesh, halo exchange per matvec -- the multi-chip path.
+
+        ``poisson_precond``: "amg" (default) preconditions the banded
+        step's pressure Poisson with a smoothed-aggregation V-cycle --
+        the cg_rtol stopping then triggers after O(10) iterations instead
+        of O(100) Jacobi sweeps; ``None`` reverts.  (Spectral and halo
+        paths ignore it: the spectral solve is exact, the halo layer
+        keeps its Jacobi-CG.)"""
         assert isinstance(time_stepping, BDFTimeStepping)
         super().__init__(mesh, boundary_markers, form_convective_term,
                          time_stepping, tol, max_iter or 50,
                          form_viscous_term, linear_solver)
-        self._cg_iters = tuple(cg_iters)
+        self._cg_iters_user = None if cg_iters is None else tuple(cg_iters)
         self._cg_rtol = cg_rtol
         self._prefer_spectral = prefer_spectral
         self._periodic_pairs = []
         self._device_mesh = device_mesh
+        self._poisson_precond = poisson_precond
 
     # -- setup ----------------------------------------------------------------
     def _setup_function_spaces(self):
@@ -198,10 +207,14 @@ class ProjectionSolver(InstationarySolverBase):
         if pres_mask is not None:
             p_pres_mask = np.asarray(pres_mask)[fast.permP]
         self._fast_step = build_planar_projection_step(
-            fast, visc=self._visc, dt=k0, cg_iters=self._cg_iters,
+            fast, visc=self._visc, dt=k0,
+            cg_iters=self._cg_iters_user or (
+                # the V-cycle makes 40 Poisson iterations (behind the
+                # cg_rtol early exit) worth ~400 Jacobi sweeps
+                (40, 40, 20) if self._poisson_precond else (40, 400, 20)),
             vel_bc=p_vel_bc, pres_bc_mask=p_pres_mask,
             conv_coeff=self._conv_coeff, cg_rtol=self._cg_rtol,
-            with_residuals=True)
+            with_residuals=True, poisson_precond=self._poisson_precond)
         self._step_kind = "fast"
         self._sync_planar_from_canonical()
 
@@ -222,7 +235,8 @@ class ProjectionSolver(InstationarySolverBase):
         hops = HaloCellOperator(self._space, self._device_mesh)
         self._hops = hops
         self._halo_step = build_halo_projection_step(
-            hops, visc=self._visc, dt=k0, cg_iters=self._cg_iters,
+            hops, visc=self._visc, dt=k0,
+            cg_iters=self._cg_iters_user or (40, 400, 20),
             vel_bc=vel_bc, pres_bc_mask=pres_mask,
             conv_coeff=self._conv_coeff, cg_rtol=self._cg_rtol,
             with_residuals=True)
@@ -259,7 +273,8 @@ class ProjectionSolver(InstationarySolverBase):
         ops = ShardedCellOperator(space, device_mesh(1))
         self._ops = ops
         self._fused = build_projection_step(
-            space, ops, visc=self._visc, dt=k0, cg_iters=self._cg_iters,
+            space, ops, visc=self._visc, dt=k0,
+            cg_iters=self._cg_iters_user or (40, 400, 20),
             vel_bc=vel_bc, pres_bc_mask=pres_mask,
             conv_coeff=self._conv_coeff, cg_rtol=self._cg_rtol,
             with_residuals=True)

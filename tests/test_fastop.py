@@ -250,3 +250,16 @@ def test_planar_step_amg_poisson():
         assert res_a[1] < 1e-8
         np.testing.assert_allclose(u_a, u_j, rtol=0, atol=1e-8)
         np.testing.assert_allclose(p_a, p_j, rtol=0, atol=1e-7)
+
+
+def test_rim_gather_fallback(channel_space, monkeypatch):
+    """NS_FASTOP_RIM_BYTES=0 forces the rectangular G/D couplings onto
+    the sorted-COO gather path; every operator still matches the
+    cell-loop layer to roundoff (the band-width of G/D grows with the
+    grid line length, so large grids take this path automatically)."""
+    from navierstokes_tpu.assembly.fastop import GatherOp
+
+    monkeypatch.setenv("NS_FASTOP_RIM_BYTES", "0")
+    fast = FastTaylorHood(channel_space)
+    assert all(isinstance(op, GatherOp) for op in (*fast.G, *fast.D))
+    _check_against_reference(channel_space, fast)
