@@ -235,6 +235,146 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
     return x, info
 
 
+def _build_solver(n_cells, re_target=1000.0, maxiter_newton=40):
+    from navierstokes_tpu import config
+    from navierstokes_tpu.fem.bcs import PressureBCType, VelocityBCType
+    from navierstokes_tpu.mesh import hyper_cube
+    from navierstokes_tpu.mesh.generators import \
+        HyperCubeBoundaryMarkers as M
+    from navierstokes_tpu.solvers import StationarySolver
+
+    mesh, markers = hyper_cube(2, n_cells)
+    solver = StationarySolver(mesh, markers, tol=config.default_tol(),
+                              maxiter=maxiter_newton)
+    lid = lambda x: np.stack([np.ones(len(x)), np.zeros(len(x))], axis=1)
+    solver.set_boundary_conditions(
+        ((VelocityBCType.no_slip, M.left.value, None),
+         (VelocityBCType.no_slip, M.right.value, None),
+         (VelocityBCType.no_slip, M.bottom.value, None),
+         (VelocityBCType.function, M.top.value, lid),
+         (PressureBCType.mean_value, None, 0.0)))
+    solver.set_equation_coefficients(
+        {"convective_term": 1.0, "viscous_term": 1.0 / re_target,
+         "pressure_term": 1.0, "coriolis_term": None,
+         "euler_term": None, "body_force_term": None})
+    return solver
+
+
+def run_stage(n_cells, stage, re_target=1000.0):
+    """Run ONE solver stage in this process; state flows through npz files.
+
+    The tunneled TPU worker dies when too many (or too-long-running) big
+    monolithic FGMRES executables accumulate in one process -- observed
+    2026-08-18 on both the PTC and the Newton-handoff programs.  Process-
+    per-stage isolation gives every stage a fresh worker; the marched /
+    intermediate states are bitwise round-tripped through
+    ``results/cavity_stage_N{n}.npz`` (f64 host arrays).
+    """
+    import jax.numpy as jnp
+
+    from navierstokes_tpu import config
+
+    solver = _build_solver(n_cells, re_target)
+    solver._setup_problem()
+    state_file = f"results/cavity_stage_N{n_cells}.npz"
+    src = (f"results/cavity_steady_N{n_cells}.npz" if stage == "ptc"
+           else state_file)
+    x0 = np.load(src)["x"]
+    solver._solution = jnp.asarray(x0, config.default_dtype())
+
+    t0 = time.time()
+    if stage == "ptc":
+        solver.solve_ptc(tol=3e-5, sigma0=1.0, sigma_min=1e-3,
+                         maxiter=200, lin_tol=1e-3)
+        rec = solver.monitor.records[-1]
+        info = {"stage": f"ptc Re={re_target:g}",
+                "ptc_its": rec["iterations"],
+                "linear_its": rec["linear_iterations"],
+                "residual": float(rec["residual"])}
+    elif stage == "ptc-deep":
+        solver.solve_ptc(tol=3e-7, sigma0=0.5, sigma_min=1e-4,
+                         maxiter=800, lin_tol=1e-4)
+        rec = solver.monitor.records[-1]
+        info = {"stage": f"ptc-deep Re={re_target:g}",
+                "ptc_its": rec["iterations"],
+                "residual": float(rec["residual"])}
+    elif stage == "newton":
+        solver.solve()
+        rec = solver.monitor.records[-1]
+        info = {"stage": f"newton-handoff Re={re_target:g}",
+                "newton_its": rec.get("newton_iterations"),
+                "residual": float(rec["residual"])}
+    elif stage == "refined":
+        solver.solve_refined(tol=1.0e-10)
+        rec = solver.monitor.records[-1]
+        info = {"stage": "refined", "refine_its": rec["iterations"],
+                "residual_f64": float(rec["residual"])}
+    else:
+        raise SystemExit(f"unknown stage {stage!r}")
+    info["seconds"] = round(time.time() - t0, 1)
+    x = np.asarray(solver._solution, np.float64)
+    u_min, y_at = centerline_umin(solver.space, x)
+    info["u_min"], info["y_at_umin"] = u_min, y_at
+    os.makedirs("results", exist_ok=True)
+    np.savez(state_file, x=x, info=json.dumps(info))
+    print("CAVITY_STAGE " + json.dumps(info), flush=True)
+
+
+def run_cavity_staged(n_cells, re_target=1000.0):
+    """March in-process (stable on the tunnel), then run PTC / Newton /
+    refined each in a fresh subprocess (fresh TPU worker per stage)."""
+    import subprocess
+
+    saved = f"results/cavity_steady_N{n_cells}.npz"
+    log = {"n_cells": n_cells, "stages": []}
+    if os.path.exists(saved):
+        d = np.load(saved)
+        info = json.loads(str(d["info"]))
+        print(f"[N={n_cells}] reusing marched state {saved}", flush=True)
+    else:
+        x0, info = march_to_steady(n_cells, re_target)
+        os.makedirs("results", exist_ok=True)
+        np.savez(saved, x=x0, info=json.dumps(info))
+    log["stages"].append(info)
+
+    def spawn(stage):
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(n_cells),
+             "--stage", stage],
+            cwd=root, env=env, capture_output=True, text=True)
+        sys.stdout.write(proc.stdout)
+        sys.stdout.flush()
+        for line in proc.stdout.splitlines():
+            if line.startswith("CAVITY_STAGE "):
+                return json.loads(line[len("CAVITY_STAGE "):])
+        sys.stderr.write(proc.stderr[-4000:])
+        return None
+
+    t0 = time.time()
+    for stage, fallback in (("ptc", None), ("newton", "ptc-deep"),
+                            ("refined", None)):
+        info = spawn(stage)
+        if info is None and fallback is not None:
+            print(f"[N={n_cells}] stage {stage} declined; "
+                  f"falling back to {fallback}", flush=True)
+            info = spawn(fallback)
+        if info is None:
+            raise RuntimeError(f"stage {stage} failed at N={n_cells}")
+        log["stages"].append(info)
+        print(f"[N={n_cells}] {info['stage']}: "
+              f"||F||={info.get('residual_f64', info.get('residual')):.2e} "
+              f"({info['seconds']}s)", flush=True)
+    log["u_min"] = info["u_min"]
+    log["y_at_umin"] = info["y_at_umin"]
+    log["ghia"] = GHIA_RE1000
+    log["seconds"] = round(time.time() - t0, 1)
+    print(json.dumps(log), flush=True)
+    return log
+
+
 def run_cavity(n_cells, re_target=1000.0, ramp=(100.0, 300.0),
                ptc_tol=3e-5, maxiter_newton=40, use_march=False):
     import jax.numpy as jnp
@@ -371,7 +511,13 @@ def run_cavity(n_cells, re_target=1000.0, ramp=(100.0, 300.0),
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = list(sys.argv[1:])
+    stage = None
+    if "--stage" in argv:
+        i = argv.index("--stage")
+        stage = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     if "--cpu" in sys.argv[1:]:
         import jax
 
@@ -411,7 +557,18 @@ def main():
             print(json.dumps(rows[-1]), flush=True)
         print(json.dumps({"ghia_table": rows, "ghia": GHIA_RE1000}))
         return
-    use_march = "--march" in sys.argv[1:]
+    if stage is not None:
+        run_stage(sizes[0], stage)
+        return
+    if "--march" in sys.argv[1:]:
+        # staged: fresh TPU worker per solver stage (see run_stage)
+        results = [run_cavity_staged(n) for n in sizes]
+        print(json.dumps({"summary": [
+            {"n": r["n_cells"], "u_min": r["u_min"],
+             "residual_f64": r["stages"][-1]["residual_f64"]}
+            for r in results]}))
+        return
+    use_march = False
     results = [run_cavity(n, use_march=use_march) for n in sizes]
     print(json.dumps({"summary": [
         {"n": r["n_cells"], "u_min": r["u_min"],

@@ -148,8 +148,21 @@ class MatrixFreePCD:
         # from Re ~ 200 (measured: restart-40 parks at 2.6e-2 forever at
         # Re=215/32^2 while restart-80 converges to 7e-9 in 238 its);
         # basis memory is 2*81*n, e.g. ~100 MB at 150k dofs in f32.
+        import os
+
         from navierstokes_tpu.linalg.amg import (AMG,
                                                  pressure_laplacian_scipy)
+
+        # tunnel-friendliness knobs: the tunneled TPU worker kills (and
+        # takes down) device programs that run for minutes; shrinking the
+        # restart length and driving the restart cycles from the host
+        # bounds the single-program runtime at one cycle
+        restart = int(os.environ.get("NS_TPU_FGMRES_RESTART", restart))
+        max_cycles = int(os.environ.get("NS_TPU_FGMRES_CYCLES", max_cycles))
+        # default host-driven on tunneled (axon) devices, full-device else
+        tunneled = "axon" in os.environ.get("JAX_PLATFORMS", "")
+        self.host_cycles = os.environ.get(
+            "NS_TPU_FGMRES_HOST_CYCLES", "1" if tunneled else "") == "1"
 
         self.op = mixed_op
         space = mixed_op.space
@@ -296,5 +309,20 @@ class MatrixFreePCD:
             self._solvers[key] = self._build_solver(*key)
         if x0 is None:
             x0 = jnp.zeros_like(rhs)
-        return self._solvers[key](x, rhs, x0, scalars, source_q, tol, atol,
-                                  max_cycles or self.max_cycles)
+        budget = max_cycles or self.max_cycles
+        if not self.host_cycles:
+            return self._solvers[key](x, rhs, x0, scalars, source_q, tol,
+                                      atol, budget)
+        # host-driven restart cycles: ONE cycle per device program (the
+        # tunneled worker crashes on minutes-long executions), warm-started
+        # across cycles; one residual readback per cycle
+        target = max(tol * float(jnp.linalg.norm(rhs)), atol)
+        n_total = 0
+        dx = x0
+        for _ in range(budget):
+            dx, res, its = self._solvers[key](x, rhs, dx, scalars, source_q,
+                                              tol, atol, 1)
+            n_total += int(its)
+            if float(res) <= target:
+                break
+        return dx, res, n_total
