@@ -296,8 +296,17 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--base-only"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--base-only", "--cpu")]
     base_only = "--base-only" in sys.argv[1:]
+    if "--cpu" in sys.argv[1:]:
+        # validation-grade run off-chip: float64 CPU backend (the axon
+        # sitecustomize pins JAX_PLATFORMS, so the config update -- not
+        # the env var -- is what forces CPU; see tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     t_end = float(args[0]) if len(args) > 0 else 80.0
     res = float(args[1]) if len(args) > 1 else 1.3
     dt = float(args[2]) if len(args) > 2 else 0.005
