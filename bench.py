@@ -116,8 +116,18 @@ def _bench_generic(space, u0, p0):
     dtype = jnp.float64 if jax.config.read("jax_enable_x64") \
         else jnp.float32
     fast = FastTaylorHood(space)
-    step = build_planar_projection_step(fast, visc=1.0 / RE, dt=DT,
-                                        cg_iters=(10, 60, 6))
+    # NS_BENCH_POISSON=amg swaps the warm-started Jacobi-CG pressure
+    # Poisson (60 sweeps) for AMG-preconditioned CG (NS_BENCH_PITERS
+    # V-cycle iterations) -- the same stack the DFG/cavity harnesses run
+    precond = os.environ.get("NS_BENCH_POISSON", "jacobi")
+    if precond == "amg":
+        p_iters = int(os.environ.get("NS_BENCH_PITERS", "10"))
+        step = build_planar_projection_step(
+            fast, visc=1.0 / RE, dt=DT, cg_iters=(10, p_iters, 6),
+            poisson_precond="amg")
+    else:
+        step = build_planar_projection_step(fast, visc=1.0 / RE, dt=DT,
+                                            cg_iters=(10, 60, 6))
     u = fast.permute_velocity(jnp.asarray(u0.T, dtype))
     p = fast.permute_pressure(jnp.asarray(p0, dtype))
     alpha1, alpha2, eta1, eta2 = _coeffs(dtype)
