@@ -23,6 +23,16 @@ number alone hid a generic-path regression):
 ``structured``); the other is reported in the same JSON line under
 ``"paths"``.
 
+``NS_BENCH_LOOP`` selects the stepping loop (default ``scan``):
+
+* ``scan``     -- ``lax.scan`` chunks of NS_BENCH_CHUNK steps (default
+  50), one device dispatch per chunk.  This is how every production
+  harness in this repo runs (benchmarks/dfg_2d2.py, cavity march):
+  over the remote-TPU tunnel a per-step dispatch costs ~1 RTT, which
+  at ~5 ms/step is dispatch latency, not compute.
+* ``dispatch`` -- one XLA program launch per step (the round-1/2
+  measurement mode, kept for comparability).
+
 The reference publishes no throughput numbers (no benchmarks/ directory,
 no timing code; see SURVEY.md par.6).  ``BASELINE_DOF_STEPS_PER_SEC`` is
 the documented proxy: FEniCS assembly + sparse-direct solves on a
@@ -42,6 +52,8 @@ DIM = int(os.environ.get("NS_BENCH_DIM", "2"))
 N_POINTS = int(os.environ.get("NS_BENCH_N", "128" if DIM == 2 else "48"))
 N_STEPS = int(os.environ.get("NS_BENCH_STEPS", "200"))
 PATH = os.environ.get("NS_BENCH_PATH", "structured")
+LOOP = os.environ.get("NS_BENCH_LOOP", "scan")
+CHUNK = int(os.environ.get("NS_BENCH_CHUNK", "50"))
 RE = 100.0
 DT = 1.0e-3
 
@@ -52,15 +64,15 @@ def _sync(x):
     return float(np.asarray(x.sum()))
 
 
-def _tg_amp_err(amp_max):
+def _tg_amp_err(amp_max, n_steps_total):
     """Relative error of max|u| vs the analytic Taylor-Green decay
-    e^{-2 nu g^2 t} after the timed steps (1 BDF-1 + 3 warmup + N_STEPS
-    BDF-2 steps of size DT) -- a physics guard on the benchmarked
-    trajectory, not just a finiteness check."""
+    e^{-2 nu g^2 t} after ``n_steps_total`` steps of size DT (warmup +
+    timed) -- a physics guard on the benchmarked trajectory, not just a
+    finiteness check."""
     import math
 
     g = 2.0 * math.pi
-    t_total = (4 + N_STEPS) * DT
+    t_total = n_steps_total * DT
     rate = (2.0 if DIM == 2 else 1.0) * (1.0 / RE) * g * g
     expected = math.exp(-rate * t_total)
     return round(abs(float(amp_max) - expected) / expected, 5)
@@ -95,14 +107,36 @@ def _bench_structured(space, u0, p0):
         state = step(state, alpha2, eta2)
     _sync(state[0])
 
-    t0 = time.perf_counter()
-    for _ in range(N_STEPS):
-        state = step(state, alpha2, eta2)
-    _sync(state[0])
-    elapsed = time.perf_counter() - t0
+    if LOOP == "scan":
+        from functools import partial
+
+        from jax import lax
+
+        @partial(jax.jit, static_argnums=(2,))
+        def chunk(big, state, n):
+            body = lambda s, _: (step.raw(big, s, alpha2, eta2, None), None)
+            return lax.scan(body, state, None, length=n)[0]
+
+        state = chunk(step.big_arrays, state, CHUNK)  # compile
+        _sync(state[0])
+        done = CHUNK
+        t0 = time.perf_counter()
+        for _ in range(max(1, (N_STEPS - done) // CHUNK)):
+            state = chunk(step.big_arrays, state, CHUNK)
+        _sync(state[0])
+        elapsed = time.perf_counter() - t0
+        n_timed = max(1, (N_STEPS - done) // CHUNK) * CHUNK
+    else:
+        t0 = time.perf_counter()
+        for _ in range(N_STEPS):
+            state = step(state, alpha2, eta2)
+        _sync(state[0])
+        elapsed = time.perf_counter() - t0
+        n_timed = N_STEPS
     finite = bool(jnp.all(jnp.isfinite(state[0])))
-    quality = {"amp_rel_err": _tg_amp_err(jnp.abs(state[0]).max())}
-    return elapsed, finite, quality
+    n_total = 4 + (CHUNK + n_timed if LOOP == "scan" else N_STEPS)
+    quality = {"amp_rel_err": _tg_amp_err(jnp.abs(state[0]).max(), n_total)}
+    return elapsed, n_timed, finite, quality
 
 
 def _bench_generic(space, u0, p0):
@@ -141,23 +175,54 @@ def _bench_generic(space, u0, p0):
         u_old, u = u, u_new
     _sync(u)
 
-    t0 = time.perf_counter()
-    for _ in range(N_STEPS):
-        u_new, p, phi = step(u, u_old, p, phi, alpha2, eta2)
-        u_old, u = u, u_new
-    _sync(u)
-    elapsed = time.perf_counter() - t0
+    from navierstokes_tpu.solvers.planar_step import _step_core
+
+    if LOOP == "scan":
+        from functools import partial
+
+        from jax import lax
+
+        kk = jnp.asarray(DT, dtype)
+
+        @partial(jax.jit, static_argnums=(2,))
+        def chunk(ops, masks, n, state):
+            def body(carry, _):
+                u, u_old, p, phi = carry
+                u_new, p_new, phi_new = _step_core(
+                    ops, masks, u, u_old, p, phi, alpha2, eta2, None, kk,
+                    None, with_residuals=False, **step.static)
+                return (u_new, u, p_new, phi_new), None
+
+            return lax.scan(body, state, None, length=n)[0]
+
+        state = chunk(step.ops, step.masks, CHUNK, (u, u_old, p, phi))
+        _sync(state[0])
+        t0 = time.perf_counter()
+        for _ in range(max(1, (N_STEPS - CHUNK) // CHUNK)):
+            state = chunk(step.ops, step.masks, CHUNK, state)
+        _sync(state[0])
+        elapsed = time.perf_counter() - t0
+        n_timed = max(1, (N_STEPS - CHUNK) // CHUNK) * CHUNK
+        u, u_old, p, phi = state
+    else:
+        t0 = time.perf_counter()
+        for _ in range(N_STEPS):
+            u_new, p, phi = step(u, u_old, p, phi, alpha2, eta2)
+            u_old, u = u, u_new
+        _sync(u)
+        elapsed = time.perf_counter() - t0
+        n_timed = N_STEPS
     finite = bool(jnp.all(jnp.isfinite(u)))
 
     # guard (round-2 weak #10): the per-sub-solve CG residuals of one
     # extra step in the exact bench configuration, recorded in the JSON
-    from navierstokes_tpu.solvers.planar_step import _step_core
     _, _, _, res = _step_core(step.ops, step.masks, u, u_old, p, phi,
                               alpha2, eta2, None, jnp.asarray(DT, dtype),
                               None, with_residuals=True, **step.static)
-    quality = {"amp_rel_err": _tg_amp_err(jnp.abs(u).max()),
+    n_total = 4 + (CHUNK + n_timed if LOOP == "scan" else N_STEPS)
+    quality = {"amp_rel_err": _tg_amp_err(jnp.abs(u).max(), n_total),
                "cg_residuals": [float(r) for r in np.asarray(res)]}
-    return elapsed, finite, quality
+    return elapsed, n_timed, finite, quality
 
 
 def main():
@@ -173,11 +238,11 @@ def main():
     for name, bench in (("structured", _bench_structured),
                         ("generic", _bench_generic)):
         try:
-            elapsed, finite, qual = bench(space, u0, p0)
+            elapsed, n_timed, finite, qual = bench(space, u0, p0)
             # a path that lost physical accuracy must read as 0 too: the
             # round-2 regression hid behind a throughput-only metric
             ok = finite and qual["amp_rel_err"] < 0.05
-            rate = (N_STEPS / elapsed) * space.n_dofs if ok else 0.0
+            rate = (n_timed / elapsed) * space.n_dofs if ok else 0.0
             quality[name] = qual
         except Exception as exc:  # a broken path must read as 0, not crash
             rate = 0.0
@@ -187,7 +252,8 @@ def main():
     value = results[PATH]
     print(json.dumps({
         "metric": "DoF-steps/sec (assembly+solve, Taylor-Green "
-                  f"{N_POINTS}^{DIM} SBDF2 projection, {PATH})",
+                  f"{N_POINTS}^{DIM} SBDF2 projection, {PATH}, "
+                  f"{LOOP} loop)",
         "value": value,
         "unit": "dof*steps/s",
         "vs_baseline": round(value / BASELINE_DOF_STEPS_PER_SEC, 3),

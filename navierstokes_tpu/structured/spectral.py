@@ -353,4 +353,10 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
         p_flat = sgrid.grid_to_p(np.asarray(ops.inv_p(Ph)))
         return u_flat, p_flat
 
+    # expose the raw jitted step + its operator pytree so callers can
+    # build lax.scan chunks with the big arrays passed as ARGUMENTS
+    # (same HTTP-413 constraint as above: a chunk that closes over them
+    # would inline them into the HLO as constants)
+    step.raw = _step
+    step.big_arrays = big_arrays
     return step, init_state, read_state

@@ -347,3 +347,35 @@ def test_3d_spectral_step_matches_fused_step(setup3d):
     assert np.allclose(u_sp, np.asarray(u), atol=1e-8 * scale)
     p_ref = np.asarray(p) - np.asarray(p).mean()
     assert np.allclose(p_sp - p_sp.mean(), p_ref, atol=1e-7)
+
+
+def test_scan_chunk_matches_dispatch(setup):
+    """lax.scan over ``step.raw`` (the bench.py / production-harness loop,
+    big arrays passed as arguments) reproduces per-step dispatch exactly."""
+    import jax
+    from jax import lax
+
+    space, sgrid, _ = setup
+    step, init_state, _ = build_spectral_projection_step(
+        sgrid, visc=0.01, dt=1e-2, dtype=jnp.float64)
+
+    from test_parallel import tg_velocity
+
+    u0 = space.interpolate_velocity(tg_velocity).reshape(-1)
+    p0 = np.zeros(space.n_pnodes)
+    dtyped = lambda v: jnp.asarray(v, jnp.float64)
+    alpha2 = tuple(map(dtyped, (1.5, -2.0, 0.5)))
+    eta2 = tuple(map(dtyped, (2.0, -1.0)))
+
+    state_a = init_state(u0, u0, p0)
+    for _ in range(5):
+        state_a = step(state_a, alpha2, eta2)
+
+    @jax.jit
+    def chunk(big, state):
+        body = lambda s, _: (step.raw(big, s, alpha2, eta2, None), None)
+        return lax.scan(body, state, None, length=5)[0]
+
+    state_b = chunk(step.big_arrays, init_state(u0, u0, p0))
+    for a, b in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
