@@ -140,10 +140,22 @@ class MatmulDFT:
 
 
 def _cmatmul(S, V: SplitC, sub):
-    """Split-complex einsum: S (split symbol) times V along ``sub``."""
+    """Split-complex per-mode block apply: S (split symbol) times V.
+
+    The contraction is a huge batch (one per Fourier mode) of tiny
+    matmuls -- (2^dim x 2^dim) @ (2^dim x d).  As an einsum XLA:TPU
+    lowers each to a padded MXU tile: measured 0.87-1.7 ms per apply at
+    128^2, ~25x above the HBM roofline and 96% of the whole projection
+    step.  An explicit broadcast-multiply-reduce stays on the VPU and is
+    bandwidth-bound instead (the reduced axis is length 2^dim, so the
+    intermediate fuses away).
+    """
+    assert sub == "...ab,...bd->...ad"
+    mm = lambda A, X: jnp.sum(A[..., :, :, None] * X[..., None, :, :],
+                              axis=-2)
     Sr, Si = S
-    re = _einsum(sub, Sr, V.re) - _einsum(sub, Si, V.im)
-    im = _einsum(sub, Sr, V.im) + _einsum(sub, Si, V.re)
+    re = mm(Sr, V.re) - mm(Si, V.im)
+    im = mm(Sr, V.im) + mm(Si, V.re)
     return SplitC(re, im)
 
 
