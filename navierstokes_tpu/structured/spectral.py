@@ -151,9 +151,20 @@ def _cmatmul(S, V: SplitC, sub):
     intermediate fuses away).
     """
     assert sub == "...ab,...bd->...ad"
+    Sr, Si = S
+    # 2D (4x4 blocks): VPU broadcast-reduce, 19x faster per step.
+    # 3D (8x8 blocks over 3 grid axes): the rank-6 broadcast inflates
+    # XLA:TPU compile time 2.5x+ (measured 219 s vs 88 s at 8^3, worse at
+    # scale; flattening the grid axes first is worse still, >9 min), so
+    # 3D keeps the batched-einsum lowering.  NS_TPU_BLOCK_APPLY overrides.
+    mode = _os.environ.get(
+        "NS_TPU_BLOCK_APPLY", "vpu" if Sr.ndim == 4 else "einsum")
+    if mode == "einsum":
+        re = _einsum(sub, Sr, V.re) - _einsum(sub, Si, V.im)
+        im = _einsum(sub, Sr, V.im) + _einsum(sub, Si, V.re)
+        return SplitC(re, im)
     mm = lambda A, X: jnp.sum(A[..., :, :, None] * X[..., None, :, :],
                               axis=-2)
-    Sr, Si = S
     re = mm(Sr, V.re) - mm(Si, V.im)
     im = mm(Sr, V.im) + mm(Si, V.re)
     return SplitC(re, im)
