@@ -178,30 +178,52 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
         state, _ = lax.scan(body, state, None, length=chunk_len)
         return state
 
-    if x0 is not None:
-        u0 = np.array(x0[:space.n_velocity_dofs]).reshape(-1, space.dim)
-        p0 = np.array(x0[space.n_velocity_dofs:])
-    else:
-        u0 = np.zeros((space.n_unodes, space.dim))
-        p0 = np.zeros(space.n_pnodes)
-    u0.reshape(-1)[v_mask] = v_vals[v_mask]
-    u = fast.permute_velocity(jnp.asarray(u0.T, dtype))
-    p = fast.permute_pressure(jnp.asarray(p0, dtype))
-    phi = jnp.zeros_like(p)
-    # BDF-1 startup
-    u_new, p, phi = step(u, u, p, phi, a1, e1)
-    state = (u_new, u, p, phi)
+    # mid-march checkpoint: long marches at 256^2+ outlast the tunneled
+    # TPU worker's MTBF, so progress is persisted every ``ckpt_every``
+    # chunks and picked up on relaunch (the permutation is deterministic
+    # for a given lattice, so the permuted planar arrays round-trip)
+    ckpt_path = f"results/cavity_march_ckpt_N{n_cells}.npz"
+    ckpt_every = int(os.environ.get("NS_MARCH_CKPT_EVERY", "20"))
+    start_chunk = 0
+    state = None
+    if os.path.exists(ckpt_path):
+        d = np.load(ckpt_path)
+        if float(d["dt"]) == dt:
+            state = tuple(jnp.asarray(d[k], dtype)
+                          for k in ("u", "u_old", "p", "phi"))
+            start_chunk = int(d["done_chunks"])
+            print(f"[N={n_cells}] march resumed from checkpoint at "
+                  f"t={start_chunk * chunk_len * dt:.1f}", flush=True)
+        else:
+            os.remove(ckpt_path)  # stale (e.g. pre-dt-halving retry)
+    if state is None:
+        if x0 is not None:
+            u0 = np.array(x0[:space.n_velocity_dofs]).reshape(
+                -1, space.dim)
+            p0 = np.array(x0[space.n_velocity_dofs:])
+        else:
+            u0 = np.zeros((space.n_unodes, space.dim))
+            p0 = np.zeros(space.n_pnodes)
+        u0.reshape(-1)[v_mask] = v_vals[v_mask]
+        u = fast.permute_velocity(jnp.asarray(u0.T, dtype))
+        p = fast.permute_pressure(jnp.asarray(p0, dtype))
+        phi = jnp.zeros_like(p)
+        # BDF-1 startup
+        u_new, p, phi = step(u, u, p, phi, a1, e1)
+        state = (u_new, u, p, phi)
 
     t0 = time.time()
     n_chunks = int(np.ceil(t_max / (chunk_len * dt)))
     u_prev = np.asarray(state[0], np.float64)
     rate = np.inf
-    done_chunks = 0
-    for c in range(n_chunks):
+    done_chunks = start_chunk
+    for c in range(start_chunk, n_chunks):
         state = chunk(step.ops, step.masks, state)
         done_chunks = c + 1
         u_now = np.asarray(state[0], np.float64)
         if not np.isfinite(u_now).all():
+            if os.path.exists(ckpt_path):
+                os.remove(ckpt_path)
             if _retries > 0:
                 print(f"[N={n_cells}] march diverged at dt={dt:g}; "
                       "retrying at dt/2", flush=True)
@@ -211,13 +233,21 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
             raise RuntimeError(f"march diverged at N={n_cells}, dt={dt:g}")
         rate = float(np.max(np.abs(u_now - u_prev))) / (chunk_len * dt)
         u_prev = u_now
-        if c == 0 or (c + 1) % 10 == 0 or rate < settle_tol:
+        if c == start_chunk or (c + 1) % 10 == 0 or rate < settle_tol:
             t_now = (c + 1) * chunk_len * dt
+            ms = (time.time() - t0) / ((c + 1 - start_chunk)
+                                       * chunk_len) * 1e3
             print(f"  march t={t_now:7.1f}  max|du/dt|={rate:.2e}  "
-                  f"[{(time.time()-t0)/((c+1)*chunk_len)*1e3:.2f} ms/step]",
-                  flush=True)
+                  f"[{ms:.2f} ms/step]", flush=True)
+        if (c + 1) % ckpt_every == 0 and rate >= settle_tol:
+            os.makedirs("results", exist_ok=True)
+            np.savez(ckpt_path, u=np.asarray(state[0]),
+                     u_old=np.asarray(state[1]), p=np.asarray(state[2]),
+                     phi=np.asarray(state[3]), dt=dt, done_chunks=c + 1)
         if rate < settle_tol:
             break
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
     u_fin, _, p_fin, _ = state
     u_host = np.asarray(fast.unpermute_velocity(u_fin),
                         np.float64).T.reshape(-1)
