@@ -20,6 +20,9 @@ refinement sequence (u_min -> -0.3829 at x=0.5).
 Usage: python benchmarks/cavity_re1000.py [N ...]   (default 64 128)
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
+
 import json
 import os
 import sys

@@ -19,6 +19,9 @@ Literature: c_D,max = 3.22-3.24, c_L,max = 0.99-1.01, St = 0.295-0.305.
 Usage: python benchmarks/dfg_2d2.py [T_end] [resolution] [dt] [resume.npz]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
+
 import json
 import os
 import sys

@@ -10,6 +10,9 @@ Exercises the traced (time-dependent) velocity BC path of the fused
 projection step.  Usage: python benchmarks/dfg_2d3.py [resolution] [dt]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
+
 import json
 import os
 import sys

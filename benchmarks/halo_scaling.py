@@ -16,6 +16,9 @@ Usage:
       python benchmarks/halo_scaling.py [n_cells_x] [steps]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
+
 import json
 import sys
 import time

@@ -11,6 +11,9 @@ the convection stencils, or the elementwise solves.
 Usage: python benchmarks/spectral_micro.py [n]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
+
 import sys
 import time
 

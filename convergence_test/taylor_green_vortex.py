@@ -12,6 +12,9 @@ solver: "bdf" = monolithic BDF-2 like the reference study, "projection" =
 the fused/spectral projection path, which runs the full 128^2 sweep in
 seconds).
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import sys
 
 import numpy as np

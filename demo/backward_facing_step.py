@@ -5,6 +5,9 @@ The inlet occupies y in [0.5, 1.0] (h=0.5, y0=0.5 as in the reference's
 inlet profile); the mesh is the built-in generator replacing the gmsh
 BackwardFacingStep.geo pipeline.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import numpy as np
 
 from navierstokes_tpu.fem.bcs import VelocityBCType

@@ -3,6 +3,9 @@
 
 The plate is imposed as an internal no-slip constraint on interior facets.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import numpy as np
 
 from navierstokes_tpu.fem.bcs import VelocityBCType

@@ -1,5 +1,8 @@
 #!/usr/bin/env python3
 """Lid-driven cavity at Re=10 (reference: demo/cavity_flow.py)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import numpy as np  # noqa: F401
 
 from navierstokes_tpu.fem.bcs import VelocityBCType

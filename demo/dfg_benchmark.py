@@ -11,6 +11,9 @@ Note: the reference's postprocess uses an undefined ``self._Re``
 (demo/dfg_benchmark.py:58); here the viscosity comes from the coefficient
 handler.
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import numpy as np
 
 from navierstokes_tpu.fem.bcs import VelocityBCType

@@ -18,6 +18,9 @@ Two configurations:
 Usage: python demo/dfg_benchmark_projection.py [2d2|2d3] [t_end]
        [resolution] [dt]
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import sys
 
 import numpy as np

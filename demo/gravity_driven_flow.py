@@ -4,6 +4,9 @@ demo/gravity_driven_flow.py) with Bernoulli-potential and mass-flux
 postprocessing.  The reference's postprocess references an undefined
 ``self._Fr`` (demo/gravity_driven_flow.py:49); here the Froude number comes
 from the coefficient handler."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import numpy as np
 import jax.numpy as jnp
 

@@ -14,6 +14,9 @@ an EXACT Navier-Stokes solution decaying as e^{-nu g^2 t} -- the demo
 prints the measured vs analytic amplitude at the end (the convection
 kernel runs; its contribution is zero to machine precision).
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import numpy as np
 
 from navierstokes_tpu.fem.bcs import PressureBCType

@@ -1,6 +1,9 @@
 #!/usr/bin/env python3
 """Doubly periodic Taylor-Green vortex, BDF-2 monolithic (reference:
 demo/taylor_green_vortex.py)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 import numpy as np
 
 from navierstokes_tpu.fem.bcs import PressureBCType

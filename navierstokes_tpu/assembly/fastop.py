@@ -143,13 +143,35 @@ class CirculantBand:
                            if 0 in self.offsets else np.zeros(self.n))
         self.band = jnp.asarray(band, dtype=dtype)
 
+    # above this many band elements the unrolled roll loop is emitted as
+    # a lax.scan: a 3D P2 stiffness has ~95 offsets at ~1e6 rows, and
+    # unrolling 95 rolls into every CG iteration of every sub-solve blew
+    # the remote tpu_compile_helper (HTTP 500) at 48^3 -- the scan keeps
+    # the HLO O(1) in the offset count at identical HBM traffic
+    _UNROLL_BUDGET = int(1e7)
+
     def apply(self, x):
         """x: (..., N) -> (..., N)."""
-        acc = None
-        for k, o in enumerate(self.offsets):
-            xo = x if o == 0 else jnp.roll(x, -o, axis=-1)
-            term = self.band[k] * xo
-            acc = term if acc is None else acc + term
+        if self.band.size <= self._UNROLL_BUDGET:
+            acc = None
+            for k, o in enumerate(self.offsets):
+                xo = x if o == 0 else jnp.roll(x, -o, axis=-1)
+                term = self.band[k] * xo
+                acc = term if acc is None else acc + term
+            return acc
+        # roll(x, -o) == concat(x, x)[..., o:o+N]; scanning over
+        # (band row, offset) pairs keeps the program size constant
+        from jax import lax
+
+        x2 = jnp.concatenate([x, x], axis=-1)
+        offs = jnp.asarray(self.offsets, jnp.int32)
+
+        def body(acc, bo):
+            b_k, o = bo
+            xo = lax.dynamic_slice_in_dim(x2, o, self.n, axis=-1)
+            return acc + b_k * xo, None
+
+        acc, _ = lax.scan(body, jnp.zeros_like(x), (self.band, offs))
         return acc
 
     def diagonal(self):

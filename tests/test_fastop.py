@@ -263,3 +263,20 @@ def test_rim_gather_fallback(channel_space, monkeypatch):
     fast = FastTaylorHood(channel_space)
     assert all(isinstance(op, GatherOp) for op in (*fast.G, *fast.D))
     _check_against_reference(channel_space, fast)
+
+
+def test_circulant_scan_apply_matches_unrolled(periodic_space,
+                                               monkeypatch):
+    """Large bands lower the circulant apply as a lax.scan (the unrolled
+    roll loop blew the remote compile at 3D scale); both lowerings use
+    the same accumulation order, differing only by compiler FMA
+    contraction (last-bit)."""
+    fast = FastTaylorHood(periodic_space)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, fast.K.n)), fast.K.band.dtype)
+    y_unrolled = np.asarray(fast.K.apply(x))
+    monkeypatch.setattr(CirculantBand, "_UNROLL_BUDGET", 0)
+    y_scan = np.asarray(fast.K.apply(x))
+    np.testing.assert_allclose(y_scan, y_unrolled, rtol=1e-12, atol=1e-12)
+    y_jit = np.asarray(jax.jit(lambda op, v: op.apply(v))(fast.K, x))
+    np.testing.assert_allclose(y_jit, y_unrolled, rtol=1e-12, atol=1e-12)
