@@ -287,6 +287,27 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
                   "t_end": float(series[-1, 0]),
                   "lit_cd": [3.22, 3.24], "lit_cl": [0.99, 1.01],
                   "lit_st": [0.295, 0.305]}
+        if St > 0:
+            # noise-robust envelope: median of per-period maxima.  On
+            # f32 chips the per-step reactions carry solver-truncation
+            # noise scaling with alpha0/dt, which biases the global
+            # window max upward; the median over whole shedding periods
+            # is insensitive to it (validation-grade numbers still come
+            # from f64 windows)
+            T = 1.0 / St
+            tw = window[:, 0]
+            n_per = int((tw[-1] - tw[0]) / T)
+            if n_per >= 2:
+                cdm, clm = [], []
+                for j in range(n_per):
+                    seg = window[(tw >= tw[0] + j * T)
+                                 & (tw < tw[0] + (j + 1) * T)]
+                    if len(seg):
+                        cdm.append(seg[:, 1].max())
+                        clm.append(seg[:, 2].max())
+                result["cd_max_median"] = round(float(np.median(cdm)), 4)
+                result["cl_max_median"] = round(float(np.median(clm)), 4)
+                result["n_periods"] = n_per
         # dP(t0 + T/2), t0 = time of max lift inside the window
         if np.all(np.isfinite(window[:, 3])) and St > 0:
             i0 = int(np.argmax(window[:, 2]))
