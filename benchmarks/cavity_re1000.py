@@ -167,7 +167,12 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
     e2 = (one(2.0), one(-1.0))
     kk = one(dt)
 
-    chunk_len = 500
+    # one scan chunk = one device dispatch.  At 256^2 a 500-step chunk is
+    # a single ~80 s device program, which the tunneled worker kills
+    # (reproducible worker crash on the first chunk; single steps run
+    # fine) -- keep dispatches under ~20 s at large N
+    chunk_len = int(os.environ.get("NS_MARCH_CHUNK",
+                                   "500" if n_cells <= 128 else "125"))
 
     @jax.jit
     def chunk(ops, masks, state):
@@ -194,7 +199,9 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
         if float(d["dt"]) == dt:
             state = tuple(jnp.asarray(d[k], dtype)
                           for k in ("u", "u_old", "p", "phi"))
-            start_chunk = int(d["done_chunks"])
+            done_steps = (int(d["done_steps"]) if "done_steps" in d
+                          else int(d["done_chunks"]) * 500)
+            start_chunk = done_steps // chunk_len
             print(f"[N={n_cells}] march resumed from checkpoint at "
                   f"t={start_chunk * chunk_len * dt:.1f}", flush=True)
         else:
@@ -246,7 +253,8 @@ def march_to_steady(n_cells, re_target=1000.0, dt=None, t_max=250.0,
             os.makedirs("results", exist_ok=True)
             np.savez(ckpt_path, u=np.asarray(state[0]),
                      u_old=np.asarray(state[1]), p=np.asarray(state[2]),
-                     phi=np.asarray(state[3]), dt=dt, done_chunks=c + 1)
+                     phi=np.asarray(state[3]), dt=dt,
+                     done_steps=(c + 1) * chunk_len)
         if rate < settle_tol:
             break
     if os.path.exists(ckpt_path):
