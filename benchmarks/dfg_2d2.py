@@ -47,7 +47,8 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
     from navierstokes_tpu.solvers.planar_step import \
         build_planar_projection_step
 
-    mesh, markers, bm = channel_with_cylinder(resolution)
+    wake = float(os.environ.get("NS_DFG_WAKE", "1"))
+    mesh, markers, bm = channel_with_cylinder(resolution, wake=wake)
     space = TaylorHoodSpace(mesh)
     print(f"cells={mesh.n_cells}, dofs={space.n_dofs}", flush=True)
     h = 4.1
@@ -151,6 +152,8 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
     if resume is not None:
         data = np.load(resume)
         assert float(data["resolution"]) == resolution
+        if "wake" in data:
+            assert float(data["wake"]) == wake, (float(data["wake"]), wake)
         u = fast.permute_velocity(jnp.asarray(
             np.asarray(data["u"]).reshape(-1, space.dim).T, dtype))
         u_old = fast.permute_velocity(jnp.asarray(
@@ -212,7 +215,7 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
                          fast.unpermute_velocity(u_old).T.reshape(-1)),
                      p=np.asarray(fast.unpermute_pressure(p)),
                      phi=np.asarray(fast.unpermute_pressure(phi)),
-                     t=t_start, resolution=resolution)
+                     t=t_start, resolution=resolution, wake=wake)
             print(f"base state saved to {out}", flush=True)
             return None
 
@@ -223,6 +226,8 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
 
     os.makedirs("results", exist_ok=True)
     suffix = "" if resolution == 1.3 else f"_res{resolution:g}"
+    if wake != 1.0:
+        suffix += f"_w{wake:g}"
     prev = None
     if resume is not None:
         prev = np.loadtxt("results/dfg_2d2_coefficients%s.txt" % suffix) \
@@ -244,7 +249,7 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
                      fast.unpermute_velocity(uo).T.reshape(-1)),
                  p=np.asarray(fast.unpermute_pressure(pp)),
                  phi=np.asarray(fast.unpermute_pressure(ff)),
-                 t=series_done[-1, 0], resolution=resolution)
+                 t=series_done[-1, 0], resolution=resolution, wake=wake)
 
     t0 = time.time()
     for c in range(n_chunks):

@@ -40,9 +40,11 @@ def main(state_path, res_from, res_to):
     assert float(data["resolution"]) == res_from, \
         (float(data["resolution"]), res_from)
 
-    mesh1, _, _ = channel_with_cylinder(res_from)
+    wake_from = float(os.environ.get("NS_DFG_WAKE_FROM", "1"))
+    wake_to = float(os.environ.get("NS_DFG_WAKE", "1"))
+    mesh1, _, _ = channel_with_cylinder(res_from, wake=wake_from)
     space1 = TaylorHoodSpace(mesh1)
-    mesh2, markers2, bm2 = channel_with_cylinder(res_to)
+    mesh2, markers2, bm2 = channel_with_cylinder(res_to, wake=wake_to)
     space2 = TaylorHoodSpace(mesh2)
     print(f"seed: {space1.n_dofs} DoF -> {space2.n_dofs} DoF", flush=True)
 
@@ -82,9 +84,10 @@ def main(state_path, res_from, res_to):
     for arr in (u2, uo2):
         arr.reshape(-1)[np.asarray(vbc.dofs)] = vbc.values()
 
-    out = f"results/dfg_2d2_base_res{res_to:g}.npz"
+    suffix = "" if wake_to == 1.0 else f"_w{wake_to:g}"
+    out = f"results/dfg_2d2_base_res{res_to:g}{suffix}.npz"
     np.savez(out, u=u2.reshape(-1), u_old=uo2.reshape(-1), p=p2, phi=phi2,
-             t=float(data["t"]), resolution=res_to)
+             t=float(data["t"]), resolution=res_to, wake=wake_to)
     print(f"wrote {out} (t={float(data['t']):g})", flush=True)
 
 

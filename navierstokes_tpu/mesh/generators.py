@@ -316,7 +316,7 @@ def circle_snap(cx, cy, rad, tol=None):
     return on_curve, project
 
 
-def channel_with_cylinder(resolution=1.0, curved=True):
+def channel_with_cylinder(resolution=1.0, curved=True, wake=1.0):
     """DFG 2D-2 cylinder-in-channel benchmark mesh.
 
     Geometry nondimensionalized by the cylinder diameter (matching the
@@ -361,13 +361,23 @@ def channel_with_cylinder(resolution=1.0, curved=True):
         r_k += h_k
 
     # background cloud: spacing grows with distance from the cylinder,
-    # refined wake corridor behind it
+    # refined wake corridor behind it.  ``wake`` > 1 additionally
+    # refines the NEAR wake (x in (cx, cx+8], feathered out by cx+8) by
+    # that factor -- the shear-layer rollup there sets the lift
+    # amplitude, which converges much slower than c_D/St under uniform
+    # refinement (measured: c_L,max 0.9703/0.9695 at res 2/3, lit
+    # 0.99-1.01, while c_D and St are in-interval)
     def local_h(xy):
         d = np.hypot(xy[:, 0] - cx, xy[:, 1] - cy) - rad
         h = np.minimum(h_far, 0.12 / res + 0.12 * np.maximum(d, 0.0))
-        wake = (xy[:, 0] > cx) & (np.abs(xy[:, 1] - cy) < 1.2)
-        h = np.where(wake & (xy[:, 0] < cx + 12.0),
+        corridor = (xy[:, 0] > cx) & (np.abs(xy[:, 1] - cy) < 1.2)
+        h = np.where(corridor & (xy[:, 0] < cx + 12.0),
                      np.minimum(h, 0.22 / res), h)
+        if wake > 1.0:
+            ramp = np.clip((cx + 8.0 - xy[:, 0]) / 4.0, 0.0, 1.0)
+            eff = 1.0 + (wake - 1.0) * ramp
+            near = corridor & (np.abs(xy[:, 1] - cy) < 1.1)
+            h = np.where(near, np.minimum(h, 0.22 / (res * eff)), h)
         return h
 
     # rejection-sampled jittered grid honoring local_h
@@ -383,6 +393,21 @@ def channel_with_cylinder(resolution=1.0, curved=True):
     hloc = local_h(cand)
     accept = rng.random(len(cand)) < (base_h / hloc) ** 2
     cand = cand[accept]
+    if wake > 1.0:
+        # secondary candidate grid in the near-wake box: the primary
+        # grid's spacing (base_h) caps the achievable density, so add
+        # the missing density 1/h^2 - 1/base_h^2 from a finer grid
+        bh2 = 0.12 / (res * wake)
+        xs2 = np.arange(cx, cx + 8.0 + bh2, bh2)
+        ys2 = np.arange(cy - 1.15, cy + 1.15 + bh2, bh2)
+        X2, Y2 = np.meshgrid(xs2, ys2, indexing="ij")
+        cand2 = np.stack([X2.ravel(), Y2.ravel()], axis=1)
+        cand2 += rng.uniform(-0.25, 0.25, cand2.shape) * bh2
+        cand2[:, 1] = np.clip(cand2[:, 1], 0.0, H)
+        h2 = local_h(cand2)
+        p2 = (bh2 / h2) ** 2 - (bh2 / base_h) ** 2
+        cand2 = cand2[rng.random(len(cand2)) < p2]
+        cand = np.concatenate([cand, cand2])
     # keep clear of the cylinder + rings and the walls
     d_c = np.hypot(cand[:, 0] - cx, cand[:, 1] - cy)
     cand = cand[d_c > r_k - 0.4 * h_k]
