@@ -21,6 +21,7 @@ Usage: python benchmarks/dfg_seed.py <state.npz> <res_from> <res_to>
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable from any cwd
 
+import os
 import sys
 
 import numpy as np
