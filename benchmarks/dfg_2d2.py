@@ -292,6 +292,30 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
                   "t_end": float(series[-1, 0]),
                   "lit_cd": [3.22, 3.24], "lit_cl": [0.99, 1.01],
                   "lit_st": [0.295, 0.305]}
+        # certification-grade on-chip maxima: harmonic least-squares fit
+        # (utils/signal.py) removes both the per-step f32 solver noise
+        # AND the extreme-value bias of the raw max -- validated to
+        # <=0.1% against f64 re-marches of the same trajectory
+        # (docs/VALIDATION.md)
+        try:
+            from navierstokes_tpu.utils.signal import (periodic_eval,
+                                                       periodic_fit)
+
+            fit_d = periodic_fit(window[:, 0], window[:, 1], K=10)
+            fit_l = periodic_fit(window[:, 0], window[:, 2], K=10)
+            result["cd_max_fit"] = round(fit_d["max"], 4)
+            result["cl_max_fit"] = round(fit_l["max"], 4)
+            result["st_fit"] = round(fit_l["freq"], 4)
+            result["fit_sigma"] = [round(fit_d["sigma"], 5),
+                                   round(fit_l["sigma"], 5)]
+            if np.all(np.isfinite(window[:, 3])):
+                fit_p = periodic_fit(window[:, 0], window[:, 3], K=10,
+                                     f0=fit_l["freq"], refine=1e-6)
+                t_half = fit_l["argmax"] + 0.5 / fit_l["freq"]
+                result["dP_fit"] = round(
+                    float(periodic_eval(fit_p, t_half)[0]), 4)
+        except Exception as exc:  # fit is advisory: never kill the run
+            result["fit_error"] = str(exc)
         if St > 0:
             # noise-robust envelope: median of per-period maxima.  On
             # f32 chips the per-step reactions carry solver-truncation
