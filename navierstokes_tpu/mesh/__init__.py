@@ -21,6 +21,12 @@ from navierstokes_tpu.mesh.gmsh_io import (  # noqa: F401
     extract_facet_markers,
     read_geo_msh,
     read_msh,
+    write_msh,
+)
+from navierstokes_tpu.mesh.xdmf_io import (  # noqa: F401
+    generate_xdmf_mesh,
+    read_xdmf_mesh,
+    write_xdmf_mesh,
 )
 from navierstokes_tpu.mesh.markers import (  # noqa: F401
     GeometryType,

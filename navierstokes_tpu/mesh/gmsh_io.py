@@ -215,3 +215,41 @@ def read_geo_msh(geo_filename: str):
     msh = generate_msh(geo_filename)
     mesh, markers = read_msh(msh)
     return mesh, markers, marker_map
+
+
+def write_msh(filename: str, mesh, markers=None, cell_physical=1):
+    """Write a legacy MSH 2.2 ASCII file (nodes, marked facets, cells).
+
+    The inverse of :func:`read_msh`: volume cells carry physical tag
+    ``cell_physical``; marked facets are emitted as codim-1 elements with
+    their marker value as the physical tag.  Useful for exporting
+    built-in meshes to gmsh-toolchain users and for shipping pre-meshed
+    assets next to their ``.geo`` sources (the reference distributes
+    exactly such pairs via its gmsh-collection submodule,
+    .gitmodules:1-3).
+    """
+    dim = mesh.dim
+    etype_cell = 4 if dim == 3 else 2        # tetra / triangle
+    etype_facet = 2 if dim == 3 else 1       # triangle / line
+    with open(filename, "w") as fh:
+        fh.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        fh.write(f"$Nodes\n{len(mesh.points)}\n")
+        for i, pt in enumerate(mesh.points):
+            xyz = list(pt) + [0.0] * (3 - dim)
+            fh.write(f"{i + 1} {xyz[0]:.16g} {xyz[1]:.16g} {xyz[2]:.16g}\n")
+        fh.write("$EndNodes\n")
+        n_f = 0 if markers is None else len(markers.facet_ids)
+        fh.write(f"$Elements\n{n_f + len(mesh.cells)}\n")
+        eid = 1
+        if markers is not None:
+            for fid, val in zip(markers.facet_ids, markers.values):
+                conn = " ".join(str(v + 1) for v in mesh.facets[fid])
+                fh.write(f"{eid} {etype_facet} 2 {val} {val} {conn}\n")
+                eid += 1
+        for cell in mesh.cells:
+            conn = " ".join(str(v + 1) for v in cell)
+            fh.write(f"{eid} {etype_cell} 2 {cell_physical} "
+                     f"{cell_physical} {conn}\n")
+            eid += 1
+        fh.write("$EndElements\n")
+    return filename
