@@ -136,8 +136,22 @@ class ProjectionSolver(InstationarySolverBase):
         sgrid = PeriodicStructuredTH(self._space)
         k0 = self._time_stepping.get_next_step_size()
         self._sgrid = sgrid
-        self._spectral = build_spectral_projection_step(
+        step, init_state, read_state = build_spectral_projection_step(
             sgrid, visc=self._visc, dt=k0, dtype=config.default_dtype())
+        if self._device_mesh is not None \
+                and int(self._device_mesh.devices.size) > 1:
+            # slab-sharded spectral step over the device mesh (the
+            # multi-chip flagship path): init_state's host result is
+            # placed onto the mesh, the step runs under out_shardings
+            from navierstokes_tpu.structured.spectral import \
+                shard_spectral_step
+
+            sharded, shard_state = shard_spectral_step(
+                step, sgrid, self._device_mesh)
+            base_init = init_state
+            init_state = lambda *a: shard_state(base_init(*a))
+            step = sharded
+        self._spectral = (step, init_state, read_state)
         self._spectral_state = None
         self._step_kind = "spectral"
 

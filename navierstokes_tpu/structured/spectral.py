@@ -58,7 +58,8 @@ def _mm_axis(M, X, axis):
     return jnp.moveaxis(Y, 0, axis)
 
 
-from navierstokes_tpu.structured.grid import PeriodicStructuredTH
+from navierstokes_tpu.structured.grid import (NotStructured,
+                                              PeriodicStructuredTH)
 from navierstokes_tpu.structured.ops import StructuredConvection
 
 
@@ -383,3 +384,76 @@ def build_spectral_projection_step(sgrid: PeriodicStructuredTH, *, visc,
     step.raw = _step
     step.big_arrays = big_arrays
     return step, init_state, read_state
+
+
+# ---------------------------------------------------------------------------
+# multi-chip: slab-sharded spectral step
+# ---------------------------------------------------------------------------
+
+def shard_spectral_step(step, sgrid, device_mesh, axis_name=None):
+    """Slab-decompose a built spectral step over a device mesh.
+
+    The class grids are sharded along the SECOND grid axis (a slab
+    decomposition): stencil convection becomes halo ``ppermute``s and
+    the DFT matmul along the sharded axis a compiler-inserted collective
+    (GSPMD), with every other piece (per-mode block solves, elementwise
+    symbol divisions) purely local.  The returned ``(sharded_step,
+    shard_state)`` pair mirrors the unsharded step's signature;
+    ``shard_state`` places an ``init_state`` result onto the mesh.
+
+    Raises ``NotStructured`` when the grid extent does not divide the
+    device count (the caller's fallback path handles it like any other
+    structure failure).
+
+    Replaces: the reference's PETSc/MPI distributed Mat-Vec layer
+    (environment.yml:63-65) for the structured flagship; SURVEY §2.2.
+    """
+    import jax.sharding as jsh
+
+    ndev = int(device_mesh.devices.size)
+    if axis_name is None:
+        axis_name = device_mesh.axis_names[0]
+    dim = len(sgrid.shape)
+    g1 = sgrid.shape[1]
+    if g1 % ndev != 0:
+        raise NotStructured(
+            f"grid axis 1 ({g1}) not divisible by {ndev} devices")
+
+    def ns(spec):
+        return jsh.NamedSharding(device_mesh, jsh.PartitionSpec(*spec))
+
+    def leaf_spec(x):
+        nd = jnp.asarray(x).ndim
+        if nd <= 1:
+            return ns([None] * nd)
+        # class-grid layouts: U/(U_old) are (a, *grid, d) -> shard grid
+        # axis 1 = tensor axis 2; everything else (Uh/Ph/symbol arrays)
+        # leads with the grid -> shard tensor axis 1
+        if nd == dim + 2 and x.shape[0] == sgrid.n_uclass \
+                and x.shape[1 + 1] == g1:
+            spec = [None] * nd
+            spec[2] = axis_name
+            return ns(spec)
+        spec = [None] * nd
+        spec[1] = axis_name
+        return ns(spec)
+
+    big_sharded = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), leaf_spec(x)),
+        step.big_arrays)
+    holder = {}
+
+    def shard_state(state):
+        state_spec = jax.tree.map(leaf_spec, state)
+        # pin the OUTPUT to the slab layout: without out_shardings GSPMD
+        # is free to all-gather the result, silently degenerating the
+        # loop-carried state to replicated stepping
+        holder["jitted"] = jax.jit(step.raw, out_shardings=state_spec)
+        return jax.tree.map(lambda x, s: jax.device_put(jnp.asarray(x), s),
+                            state, state_spec)
+
+    def sharded_step(state, alpha, eta, k=None):
+        assert "jitted" in holder, "call shard_state(...) first"
+        return holder["jitted"](big_sharded, state, alpha, eta, k)
+
+    return sharded_step, shard_state
