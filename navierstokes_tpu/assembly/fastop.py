@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from os import environ as _os_env
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -150,9 +152,28 @@ class CirculantBand:
     # the HLO O(1) in the offset count at identical HBM traffic
     _UNROLL_BUDGET = int(1e7)
 
+    # apply lowering: "roll" = per-offset jnp.roll chain (one
+    # concat+slice+fma per offset); "stack" = materialize the (K, ..., N)
+    # window tensor with static slices of one doubled copy and contract
+    # in a single fused multiply-reduce.  The chain emits O(K) separate
+    # HBM-bound kernels whose fixed launch cost dominates at ~1e5-row
+    # vectors; the stack form is 2 kernels regardless of K (measured in
+    # benchmarks/banded_micro.py).  NS_CIRC_APPLY overrides.
+    mode = _os_env.get("NS_CIRC_APPLY", "stack")
+
     def apply(self, x):
         """x: (..., N) -> (..., N)."""
         if self.band.size <= self._UNROLL_BUDGET:
+            if self.mode == "stack":
+                from jax import lax
+
+                x2 = jnp.concatenate([x, x], axis=-1)
+                wins = jnp.stack(
+                    [lax.slice_in_dim(x2, o, o + self.n, axis=-1)
+                     for o in self.offsets], axis=0)     # (K, ..., N)
+                band = self.band.reshape(
+                    (len(self.offsets),) + (1,) * (x.ndim - 1) + (self.n,))
+                return (band * wins).sum(axis=0)
             acc = None
             for k, o in enumerate(self.offsets):
                 xo = x if o == 0 else jnp.roll(x, -o, axis=-1)

@@ -143,7 +143,7 @@ class MatrixFreePCD:
 
     def __init__(self, mixed_op: MixedOperator, *, f_iters=15, mp_iters=5,
                  restart=80, max_cycles=6, helmholtz_shift=0.0,
-                 amg_kwargs=None):
+                 grad_div=0.0, amg_kwargs=None):
         # restart=80: GMRES(40) stagnates on convective Newton systems
         # from Re ~ 200 (measured: restart-40 parks at 2.6e-2 forever at
         # Re=215/32^2 while restart-80 converges to 7e-9 in 238 its);
@@ -163,6 +163,16 @@ class MatrixFreePCD:
         tunneled = "axon" in os.environ.get("JAX_PLATFORMS", "")
         self.host_cycles = os.environ.get(
             "NS_TPU_FGMRES_HOST_CYCLES", "1" if tunneled else "") == "1"
+
+        # augmented-Lagrangian (grad-div) stabilization (Benzi/Olshanskii;
+        # see PAPERS.md): gamma > 0 adds gamma * G Mp^{-1} D to the
+        # velocity block of BOTH the system and the residual (same
+        # discrete solution -- D u = 0 at convergence) and replaces the
+        # PCD Schur sandwich with the AL approximation
+        # S^{-1} ~= -(cv + gamma) Mp^{-1}, which is Re- and h-robust.
+        # The price is a stiffer velocity block (the classical AL
+        # tradeoff) and one extra Jacobian application per matvec.
+        self.grad_div = float(os.environ.get("NS_PCD_GRAD_DIV", grad_div))
 
         self.op = mixed_op
         space = mixed_op.space
@@ -244,10 +254,14 @@ class MatrixFreePCD:
         mp, _ = cg(self.pop.mass_matvec, r_p, tol=0.0,
                    maxiter=self.mp_iters,
                    M=lambda v: self.mp_lumped_inv * v)
-        fp = (accel0 * self.pop.mass_matvec(mp)
-              + scalars["cv"] * self.pop.stiffness_matvec(mp)
-              + self.pop.convection_matvec(mp, u_q))
-        z_p = -self._project(self.amg.apply(self._project(fp)))
+        if self.grad_div > 0.0:
+            # AL Schur approximation: S^{-1} ~= -(cv + gamma) Mp^{-1}
+            z_p = -(scalars["cv"] + self.grad_div) * self._project(mp)
+        else:
+            fp = (accel0 * self.pop.mass_matvec(mp)
+                  + scalars["cv"] * self.pop.stiffness_matvec(mp)
+                  + self.pop.convection_matvec(mp, u_q))
+            z_p = -self._project(self.amg.apply(self._project(fp)))
         z_p = jnp.where(self.p_bc_mask, r_p, z_p)
 
         # velocity solve: F z_u = r_u - G z_p
@@ -289,12 +303,37 @@ class MatrixFreePCD:
             _, jvp = op.linearize_at(x, scalars, source_q, picard=picard)
             u, _ = op.split(x)
             u_q = op.u_at_quad(u)
+            if self.grad_div > 0.0:
+                jvp, rhs = self._augment(jvp, rhs)
             M = lambda r: self._apply(r, jvp, u_q, scalars)
             return fgmres_device(jvp, M, rhs, x0=x0, restart=self.restart,
                                  tol=tol, atol=atol,
                                  max_cycles=max_cycles)
 
         return jax.jit(impl, static_argnames=("max_cycles",))
+
+    def _augment(self, jvp, rhs):
+        """Wrap the Jacobian matvec and rhs with the grad-div term
+        ``gamma * G Mp_lumped^{-1} D`` (composed from the system's own
+        blocks, so BC/pin rows stay consistent: constrained u rows are
+        masked, constrained/mean p rows are projected out)."""
+        gamma = self.grad_div
+        n_u = self.n_u
+        zeros_u = jnp.zeros(n_u, dtype=rhs.dtype)
+
+        def G_of(q):
+            return jvp(jnp.concatenate([zeros_u, q]))[:n_u]
+
+        def aug_u(r_p):
+            q = gamma * self.mp_lumped_inv * self._project(r_p)
+            return self.u_free * G_of(q)
+
+        def jvp_aug(v):
+            out = jvp(v)
+            return out.at[:n_u].add(aug_u(out[n_u:]))
+
+        rhs_aug = rhs.at[:n_u].add(aug_u(rhs[n_u:]))
+        return jvp_aug, rhs_aug
 
     def solve(self, x, rhs, scalars, source_q=0.0, *, picard=False,
               tol=1e-10, atol=1e-12, x0=None, max_cycles=None):
