@@ -228,6 +228,10 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
     suffix = "" if resolution == 1.3 else f"_res{resolution:g}"
     if wake != 1.0:
         suffix += f"_w{wake:g}"
+    if dt != 0.005:
+        suffix += f"_dt{dt:g}"
+    if os.environ.get("NS_DFG_SUFFIX"):
+        suffix += "_" + os.environ["NS_DFG_SUFFIX"]
     prev = None
     if resume is not None:
         prev = np.loadtxt("results/dfg_2d2_coefficients%s.txt" % suffix) \
