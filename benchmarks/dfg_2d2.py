@@ -83,11 +83,15 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
     use_amg = os.environ.get("NS_DFG_AMG", "1") == "1"
     cg_iters = tuple(int(v) for v in os.environ.get(
         "NS_DFG_CG", "18,30,10" if use_amg else "18,250,10").split(","))
+    rotational = os.environ.get("NS_DFG_SCHEME", "") == "rotational"
     step = build_planar_projection_step(
         fast, visc=visc, dt=dt, cg_iters=cg_iters,
         vel_bc=(to_planar(v_mask), to_planar(v_vals)),
         pres_bc_mask=np.asarray(p_mask)[fast.permP],
-        poisson_precond="amg" if use_amg else None)
+        poisson_precond="amg" if use_amg else None,
+        rotational=rotational)
+    if rotational:
+        print("scheme: rotational (Timmermans) pressure update", flush=True)
 
     # cylinder nodes in the engine's permuted numbering; the reaction is
     # the monolithic residual summed over them (banded operators only)

@@ -57,6 +57,7 @@ def scalar_element_matrices(space):
       M2 (nc, 6, 6)   P2 mass,
       K2 (nc, 6, 6)   P2 stiffness,
       L1 (nc, 3, 3)   P1 stiffness,
+      M1 (nc, 3, 3)   P1 mass,
       G  (nc, 6, d, 3)  pressure-gradient coupling
                         G[c, i, d, j] = -int N1_j dN2_i/dx_d.
     """
@@ -70,6 +71,7 @@ def scalar_element_matrices(space):
         "M2": np.einsum("cq,qi,qj->cij", W, N2, N2),
         "K2": np.einsum("cq,cqie,cqje->cij", W, g2, g2),
         "L1": np.einsum("cq,cqje,cqke->cjk", W, g1, g1),
+        "M1": np.einsum("cq,qj,qk->cjk", W, N1, N1),
         "G": -np.einsum("cq,qj,cqid->cidj", W, N1, g2),
     }
 
@@ -454,6 +456,8 @@ class PlanarOps(NamedTuple):
     conv_N2: jnp.ndarray      # (nq, 6)
     conv_g2: jnp.ndarray      # (nc, nq, 6, d) physical shape gradients
     conv_table: jnp.ndarray   # transpose-scatter table
+    Mp: object = None         # pressure (P1) mass -- rotational scheme
+    diag_mp: jnp.ndarray = None
 
 
 def conv_apply(ops: PlanarOps, u, cc):
@@ -555,6 +559,7 @@ class FastTaylorHood:
         M = assemble_csr(em["M2"], cu, cu, (Nu, Nu))
         K = assemble_csr(em["K2"], cu, cu, (Nu, Nu))
         L = assemble_csr(em["L1"], cp, cp, (Np, Np))
+        Mp = assemble_csr(em["M1"], cp, cp, (Np, Np))
         Gs = [assemble_csr(em["G"][:, :, d, :], cu, cp, (Nu, Np))
               for d in range(self.dim)]
 
@@ -588,6 +593,7 @@ class FastTaylorHood:
         self.M = build_operator(pu(M), name="mass", **kw)
         self.K = build_operator(pu(K), name="stiffness", **kw)
         self.L = build_operator(pp(L), name="pressure-stiffness", **kw)
+        self.Mp = build_operator(pp(Mp), name="pressure-mass", **kw)
         # rectangular rim couplings: banded while cheap, sorted-COO gather
         # beyond NS_FASTOP_RIM_BYTES (they apply ~3x/step vs the hundreds
         # of banded CG matvecs, and their band width grows with the grid
@@ -608,7 +614,8 @@ class FastTaylorHood:
             diag_l=self.L.diagonal(),
             conv_cu=self._conv_cu, conv_W=self._conv_W,
             conv_N2=self._conv_N2, conv_g2=self._conv_g2,
-            conv_table=self._conv_table)
+            conv_table=self._conv_table,
+            Mp=self.Mp, diag_mp=self.Mp.diagonal())
 
     @staticmethod
     def _is_circulant(A, perm, cap):

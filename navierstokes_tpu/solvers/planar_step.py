@@ -78,10 +78,10 @@ def _pcg(matvec, b, x0, iters, inv_diag=None, project=None, rtol=None,
 
 @partial(jax.jit, static_argnames=("visc", "conv_coeff", "cg_iters",
                                    "cg_rtol", "with_residuals",
-                                   "p_precond"))
+                                   "p_precond", "rotational"))
 def _step_core(ops, masks, u, u_old, p, phi, alpha, eta, bc_values, k,
                body_rhs, *, visc, conv_coeff, cg_iters, cg_rtol,
-               with_residuals, p_precond=None):
+               with_residuals, p_precond=None, rotational=False):
     v_free, v_vals_static, p_free = masks
     a0, a1, a2 = alpha
 
@@ -156,6 +156,22 @@ def _step_core(ops, masks, u, u_old, p, phi, alpha, eta, bc_values, k,
                         inv_diag=inv(ops.diag_m), rtol=cg_rtol)
 
     p_new = p + phi_new
+    if rotational:
+        # Timmermans/Guermond rotational correction: p += phi - nu div u*.
+        # The standard incremental update leaves an O(dt) artificial
+        # pressure boundary layer (implied d phi/dn = 0 on no-slip walls)
+        # that biases pressure-dominated wall forces; subtracting the
+        # L2-projected nodal divergence restores consistent pressure
+        # boundary data (O(dt^2) pressure; Guermond/Minev/Shen 2006).
+        # div() returns -int(N1 div u), so the nodal field solves
+        # Mp d = -div(u_star).
+        d_nodal, _ = _pcg(ops.Mp.apply, -div(u_star),
+                          jnp.zeros_like(phi_new), cg_iters[2],
+                          inv_diag=inv(ops.diag_mp))
+        corr = visc * d_nodal
+        if p_free is not None:
+            corr = p_free * corr
+        p_new = p_new - corr
     if p_free is None:
         p_new = p_new - jnp.mean(p_new)
     if with_residuals:
@@ -217,7 +233,7 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
                                  vel_bc=None, pres_bc_mask=None,
                                  conv_coeff=1.0, cg_rtol=None,
                                  with_residuals=False,
-                                 poisson_precond=None):
+                                 poisson_precond=None, rotational=False):
     """Build ``step(u, u_old, p, phi, alpha, eta, ...)`` (planar layout).
 
     ``fast``: a FastTaylorHood engine.  Velocity states are
@@ -270,7 +286,8 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
                           cg_iters=tuple(int(i) for i in cg_iters),
                           cg_rtol=None if cg_rtol is None else float(cg_rtol),
                           with_residuals=bool(with_residuals),
-                          p_precond=poisson_precond)
+                          p_precond=poisson_precond,
+                          rotational=bool(rotational))
 
     # expose the traced-argument pieces so callers embedding the step in a
     # LARGER jitted program (e.g. a lax.scan over steps) can pass the
@@ -283,5 +300,5 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
         visc=float(visc), conv_coeff=float(conv_coeff),
         cg_iters=tuple(int(i) for i in cg_iters),
         cg_rtol=None if cg_rtol is None else float(cg_rtol),
-        p_precond=poisson_precond)
+        p_precond=poisson_precond, rotational=bool(rotational))
     return step

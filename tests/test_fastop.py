@@ -280,3 +280,71 @@ def test_circulant_scan_apply_matches_unrolled(periodic_space,
     np.testing.assert_allclose(y_scan, y_unrolled, rtol=1e-12, atol=1e-12)
     y_jit = np.asarray(jax.jit(lambda op, v: op.apply(v))(fast.K, x))
     np.testing.assert_allclose(y_jit, y_unrolled, rtol=1e-12, atol=1e-12)
+
+
+def test_planar_step_rotational_poiseuille_exact():
+    """Rotational (Timmermans) pressure update: the steady Poiseuille
+    channel is in the FE space, and both its velocity AND its linear
+    pressure must be reproduced (div u* = 0 at the solution, so the
+    rotational correction vanishes and the scheme remains exact).
+    Reference scheme: Guermond/Minev/Shen 2006; prototype parity:
+    scripts/test_ipcs_phi.py:115-139 (the phi-variant's rotational
+    term)."""
+    from navierstokes_tpu.fem.bcs import PressureBCType, VelocityBCType
+    from navierstokes_tpu.fem.dirichlet import compile_dirichlet_bcs
+    from navierstokes_tpu.mesh import hyper_rectangle
+    from navierstokes_tpu.mesh.generators import \
+        HyperCubeBoundaryMarkers as M
+    from navierstokes_tpu.solvers.planar_step import \
+        build_planar_projection_step
+
+    Re = 10.0
+    mesh, markers = hyper_rectangle((0.0, 0.0), (5.0, 1.0), (20, 6))
+    space = TaylorHoodSpace(mesh)
+
+    def inlet(x):
+        return np.stack([6.0 * x[:, 1] * (1.0 - x[:, 1]),
+                         np.zeros(len(x))], axis=1)
+
+    vbc, _ = compile_dirichlet_bcs(space, markers, [
+        (VelocityBCType.function, M.left.value, inlet),
+        (VelocityBCType.no_slip, M.bottom.value, None),
+        (VelocityBCType.no_slip, M.top.value, None)], [])
+    pbc, _ = compile_dirichlet_bcs(space, markers, [], [
+        (PressureBCType.constant, M.right.value, 0.0)])
+    n_u = space.n_velocity_dofs
+    v_mask = np.zeros(n_u, bool)
+    v_mask[np.asarray(vbc.dofs)] = True
+    v_vals = np.zeros(n_u)
+    v_vals[np.asarray(vbc.dofs)] = vbc.values()
+    p_mask = np.zeros(space.n_pnodes, bool)
+    p_mask[np.asarray(pbc.dofs) - space.pressure_offset] = True
+
+    fast = FastTaylorHood(space)
+    to_planar = lambda flat: jnp.asarray(np.asarray(flat).reshape(
+        space.n_unodes, space.dim).T[:, fast.permU])
+
+    # start AT the exact solution: u = 6y(1-y), p = 12(L-x)/Re
+    u0 = space.interpolate_velocity(inlet, t=None)
+    p0 = space.interpolate_pressure(
+        lambda x: 12.0 * (5.0 - x[:, 0]) / Re, t=None)
+
+    dt64 = jnp.float64
+    one = lambda v: jnp.asarray(v, dt64)
+    a2 = (one(1.5), one(-2.0), one(0.5))
+    e2 = (one(2.0), one(-1.0))
+    step = build_planar_projection_step(
+        fast, visc=1.0 / Re, dt=1e-2, cg_iters=(60, 400, 30),
+        vel_bc=(to_planar(v_mask), to_planar(v_vals)),
+        pres_bc_mask=np.asarray(p_mask)[fast.permP], rotational=True)
+    u = fast.permute_velocity(jnp.asarray(np.asarray(u0).T, dt64))
+    uo = u
+    p = fast.permute_pressure(jnp.asarray(np.asarray(p0), dt64))
+    phi = jnp.zeros_like(p)
+    for _ in range(4):
+        un, p, phi = step(u, uo, p, phi, a2, e2)
+        uo, u = u, un
+    u_back = np.asarray(fast.unpermute_velocity(u)).T
+    p_back = np.asarray(fast.unpermute_pressure(p))
+    assert np.abs(u_back - np.asarray(u0)).max() < 1e-8
+    assert np.abs(p_back - np.asarray(p0)).max() < 1e-6
