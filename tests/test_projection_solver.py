@@ -7,6 +7,7 @@ per-step CG residuals.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -88,6 +89,7 @@ def test_projection_solver_time_dependent_inflow_variable_steps():
     assert np.abs(u[inlet_nodes, 0] - expected).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_dfg_projection_problem_short_run():
     """The DFG 2D-3 demo class (Problem API + ProjectionSolver) runs on a
     coarse mesh: pulsating inflow actually applied, finite reaction

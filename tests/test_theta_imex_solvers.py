@@ -8,6 +8,7 @@ against the analytic decay.
 import functools
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -118,6 +119,7 @@ def _temporal_order(make_solver_and_ts, dt_coarse, t_end=0.2, n_points=16):
     return math.log2(errors[0] / errors[1]), errors
 
 
+@pytest.mark.slow
 def test_theta_crank_nicolson_temporal_order():
     """Crank-Nicolson is second order in dt (VERDICT round-1 weak #7:
     theta schemes lacked an order-of-convergence proof -- this also pins
@@ -129,6 +131,7 @@ def test_theta_crank_nicolson_temporal_order():
     assert order > 1.7, (order, errs)
 
 
+@pytest.mark.slow
 def test_theta_fractional_step_temporal_order():
     """Fractional-step-theta (3 substeps, strongly A-stable) is second
     order in dt."""
@@ -139,6 +142,7 @@ def test_theta_fractional_step_temporal_order():
     assert order > 1.7, (order, errs)
 
 
+@pytest.mark.slow
 def test_imex_sbdf2_temporal_order():
     order, errs = _temporal_order(
         lambda dt, t_end: (IMEXSolver, IMEXTimeStepping(
@@ -147,6 +151,7 @@ def test_imex_sbdf2_temporal_order():
     assert order > 1.7, (order, errs)
 
 
+@pytest.mark.slow
 def test_imex_cnab_temporal_order():
     order, errs = _temporal_order(
         lambda dt, t_end: (IMEXSolver, IMEXTimeStepping(
