@@ -164,8 +164,8 @@ class MatrixFreePCD:
         self.host_cycles = os.environ.get(
             "NS_TPU_FGMRES_HOST_CYCLES", "1" if tunneled else "") == "1"
 
-        # augmented-Lagrangian (grad-div) stabilization (Benzi/Olshanskii;
-        # see PAPERS.md): gamma > 0 adds gamma * G Mp^{-1} D to the
+        # augmented-Lagrangian (grad-div) stabilization (Benzi &
+        # Olshanskii 2006, SIAM J. Sci. Comput. 28): gamma > 0 adds gamma * G Mp^{-1} D to the
         # velocity block of BOTH the system and the residual (same
         # discrete solution -- D u = 0 at convergence) and replaces the
         # PCD Schur sandwich with the AL approximation
