@@ -48,7 +48,9 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
         build_planar_projection_step
 
     wake = float(os.environ.get("NS_DFG_WAKE", "1"))
-    mesh, markers, bm = channel_with_cylinder(resolution, wake=wake)
+    length = float(os.environ.get("NS_DFG_LENGTH", "22"))
+    mesh, markers, bm = channel_with_cylinder(resolution, wake=wake,
+                                              length=length)
     space = TaylorHoodSpace(mesh)
     print(f"cells={mesh.n_cells}, dofs={space.n_dofs}", flush=True)
     h = 4.1
@@ -234,6 +236,8 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
         suffix += f"_w{wake:g}"
     if dt != 0.005:
         suffix += f"_dt{dt:g}"
+    if length != 22.0:
+        suffix += f"_L{length:g}"
     if os.environ.get("NS_DFG_SUFFIX"):
         suffix += "_" + os.environ["NS_DFG_SUFFIX"]
     prev = None

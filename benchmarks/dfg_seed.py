@@ -43,9 +43,13 @@ def main(state_path, res_from, res_to):
 
     wake_from = float(os.environ.get("NS_DFG_WAKE_FROM", "1"))
     wake_to = float(os.environ.get("NS_DFG_WAKE", "1"))
-    mesh1, _, _ = channel_with_cylinder(res_from, wake=wake_from)
+    len_from = float(os.environ.get("NS_DFG_LENGTH_FROM", "22"))
+    len_to = float(os.environ.get("NS_DFG_LENGTH", "22"))
+    mesh1, _, _ = channel_with_cylinder(res_from, wake=wake_from,
+                                        length=len_from)
     space1 = TaylorHoodSpace(mesh1)
-    mesh2, markers2, bm2 = channel_with_cylinder(res_to, wake=wake_to)
+    mesh2, markers2, bm2 = channel_with_cylinder(res_to, wake=wake_to,
+                                                 length=len_to)
     space2 = TaylorHoodSpace(mesh2)
     print(f"seed: {space1.n_dofs} DoF -> {space2.n_dofs} DoF", flush=True)
 
@@ -56,8 +60,15 @@ def main(state_path, res_from, res_to):
     p1 = np.asarray(data["p"], np.float64)
     phi1 = np.asarray(data["phi"], np.float64)
 
-    upts = space2.u_coords
-    ppts = space2.p_coords
+    upts = np.array(space2.u_coords)
+    ppts = np.array(space2.p_coords)
+    if len_to > len_from:
+        # domain-extension seeding: clamp evaluation points into the
+        # source domain (the street regenerates downstream within a few
+        # advection times)
+        xmax = len_from - 1e-6
+        upts[:, 0] = np.minimum(upts[:, 0], xmax)
+        ppts[:, 0] = np.minimum(ppts[:, 0], xmax)
     u2 = eval_chunked(space1, space1.eval_velocity, u1, upts).reshape(
         space2.n_unodes, space2.dim)
     uo2 = eval_chunked(space1, space1.eval_velocity, uo1, upts).reshape(
@@ -86,6 +97,8 @@ def main(state_path, res_from, res_to):
         arr.reshape(-1)[np.asarray(vbc.dofs)] = vbc.values()
 
     suffix = "" if wake_to == 1.0 else f"_w{wake_to:g}"
+    if len_to != 22.0:
+        suffix += f"_L{len_to:g}"
     out = f"results/dfg_2d2_base_res{res_to:g}{suffix}.npz"
     np.savez(out, u=u2.reshape(-1), u_old=uo2.reshape(-1), p=p2, phi=phi2,
              t=float(data["t"]), resolution=res_to, wake=wake_to)

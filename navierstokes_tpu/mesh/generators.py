@@ -316,7 +316,8 @@ def circle_snap(cx, cy, rad, tol=None):
     return on_curve, project
 
 
-def channel_with_cylinder(resolution=1.0, curved=True, wake=1.0):
+def channel_with_cylinder(resolution=1.0, curved=True, wake=1.0,
+                          length=22.0):
     """DFG 2D-2 cylinder-in-channel benchmark mesh.
 
     Geometry nondimensionalized by the cylinder diameter (matching the
@@ -327,8 +328,12 @@ def channel_with_cylinder(resolution=1.0, curved=True, wake=1.0):
 
     Returns ``(mesh, markers, marker_map)`` with marker names
     inlet / outlet / upper wall / lower wall / cylinder.
+
+    ``length``: channel length in diameters (22 = the DFG geometry;
+    longer values isolate the outflow-condition sensitivity of the
+    projection scheme's p=0 outlet Dirichlet).
     """
-    L, H = 22.0, 4.1
+    L, H = float(length), 4.1
     cx, cy, rad = 2.0, 2.0, 0.5
     res = float(resolution)
     h_cyl = 0.08 / res      # edge length on the cylinder
