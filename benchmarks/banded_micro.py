@@ -103,6 +103,24 @@ def main(n=128, reps=2000):
     timeit("convection assembly",
            lambda o, v: conv_apply(o, v, 1.0), u, nrep=reps // 4)
 
+    def conv_rowgather(o, v):
+        # experiment: gather contiguous (d,)-rows of the interleaved
+        # layout instead of strided planar elements
+        ut = v.T                                             # (Nu, d)
+        u_c = ut[o.conv_cu]                                  # (nc, 6, d)
+        u_q = jnp.einsum("qi,cid->cqd", o.conv_N2, u_c)
+        grad_u = jnp.einsum("cid,cqie->cqde", u_c, o.conv_g2)
+        adv = jnp.einsum("cqe,cqde->cqd", u_q, grad_u)
+        r_c = jnp.einsum("cq,cqd,qi->cid", o.conv_W, adv, o.conv_N2)
+        flat = r_c.reshape(-1, v.shape[0])                   # (nc*6, d)
+        pad = jnp.zeros((1, v.shape[0]), dtype=flat.dtype)
+        padded = jnp.concatenate([flat, pad], axis=0)
+        out = padded[o.conv_table].sum(axis=1)               # (Nu, d)
+        return out.T
+
+    timeit("convection (row-gather exp)", conv_rowgather, u,
+           nrep=reps // 4)
+
     inv_mdiag = 1.0 / ops.diag_m
     inv_ldiag = jnp.where(jnp.abs(ops.diag_l) > 1e-30,
                           1.0 / jnp.where(jnp.abs(ops.diag_l) > 1e-30,
