@@ -41,7 +41,7 @@ class ProjectionSolver(InstationarySolverBase):
                  form_viscous_term="reduced", linear_solver=None,
                  cg_iters=None, cg_rtol=1e-8,
                  prefer_spectral=True, device_mesh=None,
-                 poisson_precond="amg"):
+                 poisson_precond="amg", rotational=False):
         """``device_mesh``: a ``jax.sharding.Mesh`` with >1 devices routes
         the whole step through the domain-decomposed halo layer
         (parallel/halo.py + solvers/halo_step.py): state sharded over the
@@ -52,7 +52,11 @@ class ProjectionSolver(InstationarySolverBase):
         the cg_rtol stopping then triggers after O(10) iterations instead
         of O(100) Jacobi sweeps; ``None`` reverts.  (Spectral and halo
         paths ignore it: the spectral solve is exact, the halo layer
-        keeps its Jacobi-CG.)"""
+        keeps its Jacobi-CG.)
+
+        ``rotational``: Timmermans/Guermond rotational pressure update on
+        the banded path (p += phi - nu div u*; O(dt^2) pressure boundary
+        data -- see solvers/planar_step.py)."""
         assert isinstance(time_stepping, BDFTimeStepping)
         super().__init__(mesh, boundary_markers, form_convective_term,
                          time_stepping, tol, max_iter or 50,
@@ -63,6 +67,7 @@ class ProjectionSolver(InstationarySolverBase):
         self._periodic_pairs = []
         self._device_mesh = device_mesh
         self._poisson_precond = poisson_precond
+        self._rotational = bool(rotational)
 
     # -- setup ----------------------------------------------------------------
     def _setup_function_spaces(self):
@@ -228,7 +233,8 @@ class ProjectionSolver(InstationarySolverBase):
                 (40, 40, 20) if self._poisson_precond else (40, 400, 20)),
             vel_bc=p_vel_bc, pres_bc_mask=p_pres_mask,
             conv_coeff=self._conv_coeff, cg_rtol=self._cg_rtol,
-            with_residuals=True, poisson_precond=self._poisson_precond)
+            with_residuals=True, poisson_precond=self._poisson_precond,
+            rotational=self._rotational)
         self._step_kind = "fast"
         self._sync_planar_from_canonical()
 
