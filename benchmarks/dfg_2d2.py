@@ -86,12 +86,21 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
     cg_iters = tuple(int(v) for v in os.environ.get(
         "NS_DFG_CG", "18,30,10" if use_amg else "18,250,10").split(","))
     rotational = os.environ.get("NS_DFG_SCHEME", "") == "rotational"
+    # NS_DFG_OUTFLOW=neumann: natural (d phi/dn = 0) outflow pressure in
+    # the projection Poisson instead of the phi = 0 Dirichlet pin -- the
+    # pressure level floats (mean-free solve); forces and dP are
+    # level-invariant.  Isolates the outflow-condition sensitivity of
+    # the lift amplitude (docs/ROUND4.md).
+    neumann_out = os.environ.get("NS_DFG_OUTFLOW", "") == "neumann"
     step = build_planar_projection_step(
         fast, visc=visc, dt=dt, cg_iters=cg_iters,
         vel_bc=(to_planar(v_mask), to_planar(v_vals)),
-        pres_bc_mask=np.asarray(p_mask)[fast.permP],
+        pres_bc_mask=None if neumann_out
+        else np.asarray(p_mask)[fast.permP],
         poisson_precond="amg" if use_amg else None,
         rotational=rotational)
+    if neumann_out:
+        print("outflow: natural (Neumann) pressure", flush=True)
     if rotational:
         print("scheme: rotational (Timmermans) pressure update", flush=True)
 
