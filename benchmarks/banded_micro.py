@@ -27,7 +27,7 @@ from functools import partial
 import numpy as np
 
 
-def main(n=128, reps=2000):
+def main(n=128, reps=2000, dfg=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -35,13 +35,19 @@ def main(n=128, reps=2000):
     from navierstokes_tpu import config
     from navierstokes_tpu.assembly.fastop import FastTaylorHood, conv_apply
     from navierstokes_tpu.fem.spaces import TaylorHoodSpace, axis_periodic
-    from navierstokes_tpu.mesh import hyper_cube
+    from navierstokes_tpu.mesh import channel_with_cylinder, hyper_cube
     from navierstokes_tpu.solvers.planar_step import _pcg, _step_core, \
         build_planar_projection_step
 
-    mesh, _ = hyper_cube(2, n)
-    space = TaylorHoodSpace(mesh, periodic=[axis_periodic(0),
-                                            axis_periodic(1)])
+    if dfg:
+        # the shape real applications pay: unstructured curved cylinder
+        # mesh -> AffineBand operators, Dirichlet masks, AMG Poisson
+        mesh, markers, bm = channel_with_cylinder(float(n))
+        space = TaylorHoodSpace(mesh)
+    else:
+        mesh, _ = hyper_cube(2, int(n))
+        space = TaylorHoodSpace(mesh, periodic=[axis_periodic(0),
+                                                axis_periodic(1)])
     dtype = config.default_dtype()
     fast = FastTaylorHood(space)
     ops = fast.ops
@@ -78,7 +84,7 @@ def main(n=128, reps=2000):
     Nu, Np = space.n_unodes, space.n_pnodes
     print(f"n={n}: {space.n_dofs} DoF ({d}x{Nu} u + {Np} p), "
           f"dtype={jnp.dtype(dtype).name}, reps={reps}, "
-          f"circ_mode={ops.M.mode}", flush=True)
+          f"circ_mode={getattr(ops.M, 'mode', '-')}", flush=True)
     for nm, op in [("M (P2 mass)", ops.M), ("K (P2 stiffness)", ops.K),
                    ("L (P1 laplacian)", ops.L)]:
         print(f"  {nm:22s} {type(op).__name__:14s} "
@@ -155,8 +161,43 @@ def main(n=128, reps=2000):
                  partial(helm_solve, iters=1), u, nrep=nr2)
     del t_1
 
-    step = build_planar_projection_step(fast, visc=0.01, dt=1e-3,
-                                        cg_iters=(10, 60, 6))
+    if dfg:
+        import numpy as _np
+
+        from navierstokes_tpu.fem.bcs import PressureBCType, VelocityBCType
+        from navierstokes_tpu.fem.dirichlet import compile_dirichlet_bcs
+
+        h = 4.1
+        inlet = lambda x: _np.stack(
+            [6.0 * (x[:, 1] / h) * (1.0 - x[:, 1] / h),
+             _np.zeros(len(x))], axis=1)
+        vbc, _ = compile_dirichlet_bcs(space, markers, [
+            (VelocityBCType.function, bm["inlet"], inlet),
+            (VelocityBCType.no_slip, bm["cylinder"], None),
+            (VelocityBCType.no_slip, bm["upper wall"], None),
+            (VelocityBCType.no_slip, bm["lower wall"], None)], [])
+        pbc, _ = compile_dirichlet_bcs(space, markers, [], [
+            (PressureBCType.constant, bm["outlet"], 0.0)])
+        v_mask = _np.zeros(space.n_velocity_dofs, bool)
+        v_mask[_np.asarray(vbc.dofs)] = True
+        v_vals = _np.zeros(space.n_velocity_dofs)
+        v_vals[_np.asarray(vbc.dofs)] = vbc.values()
+        p_mask = _np.zeros(space.n_pnodes, bool)
+        p_mask[_np.asarray(pbc.dofs) - space.pressure_offset] = True
+        to_planar = lambda flat: _np.asarray(flat).reshape(
+            space.n_unodes, space.dim).T[:, fast.permU]
+        step = build_planar_projection_step(
+            fast, visc=0.01, dt=5e-3, cg_iters=(18, 30, 10),
+            vel_bc=(to_planar(v_mask), to_planar(v_vals)),
+            pres_bc_mask=_np.asarray(p_mask)[fast.permP],
+            poisson_precond="amg")
+        # per-phase solve timings at the DFG iteration counts
+        amg_fn = step.static["p_precond"]
+        timeit("AMG V-cycle (1 apply)",
+               lambda o, q: amg_fn(q), p, nrep=reps // 4)
+    else:
+        step = build_planar_projection_step(fast, visc=0.01, dt=1e-3,
+                                            cg_iters=(10, 60, 6))
     al = tuple(jnp.asarray(v, dtype) for v in (1.5, -2.0, 0.5))
     et = tuple(jnp.asarray(v, dtype) for v in (2.0, -1.0))
     kk = jnp.asarray(1e-3, dtype)
@@ -187,5 +228,7 @@ def main(n=128, reps=2000):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 2000)
+    args = [a for a in sys.argv[1:] if a != "--dfg"]
+    main(float(args[0]) if len(args) > 0 else 128,
+         int(args[1]) if len(args) > 1 else 2000,
+         dfg="--dfg" in sys.argv[1:])

@@ -39,6 +39,17 @@ class _DeviceCSR:
                                    indices_are_sorted=True)
 
 
+class _DeviceDense:
+    """Small-level dense operator: one MXU matmul per matvec."""
+
+    def __init__(self, sp_mat, dtype):
+        self.n_rows, self.n_cols = sp_mat.shape
+        self.mat = jnp.asarray(sp_mat.toarray(), dtype=dtype)
+
+    def matvec(self, x):
+        return self.mat @ x
+
+
 def _aggregate(A, theta=0.08):
     """Greedy strength-based aggregation. Returns (n,) aggregate ids."""
     import scipy.sparse as sp
@@ -104,7 +115,7 @@ class AMG:
 
     def __init__(self, A_scipy, *, dtype=None, max_levels=10,
                  coarse_size=200, theta=0.08, jacobi_weight=2.0 / 3.0,
-                 pre_smooth=1, post_smooth=1):
+                 pre_smooth=1, post_smooth=1, dense_level_cap=4096):
         import scipy.sparse as sp
 
         if dtype is None:
@@ -115,7 +126,7 @@ class AMG:
         self.w = jacobi_weight
 
         A = sp.csr_matrix(A_scipy)
-        self.levels = []           # per level: dict(A, dinv, P, R)
+        self.levels = []   # per level: dict(A, dinv, agg, c, n_agg)
         while A.shape[0] > coarse_size and len(self.levels) < max_levels:
             agg, n_agg = _aggregate(A, theta)
             if n_agg >= A.shape[0]:    # aggregation stalled
@@ -127,16 +138,24 @@ class AMG:
             dinv = 1.0 / np.where(np.abs(A.diagonal()) > 0,
                                   A.diagonal(), 1.0)
             Dinv = sp.diags(dinv)
-            P = (sp.eye(A.shape[0]) - (4.0 / (3.0 * lam)) * Dinv @ A) @ P0
-            P = sp.csr_matrix(P)
-            R = sp.csr_matrix(P.T)
+            c = 4.0 / (3.0 * lam)
+            P = sp.csr_matrix((sp.eye(A.shape[0]) - c * Dinv @ A) @ P0)
+            # the transfers are never stored: P = (I - c D^-1 A) P0 and
+            # R = P^T factor through THIS level's matvec plus a plain
+            # aggregation gather / segment-sum (TPU-friendly: the big
+            # CSR P/R gathers were the V-cycle's dominant cost).  Levels
+            # at or below ``dense_level_cap`` rows store A densely --
+            # one small MXU matmul instead of a serial-gather SpMV.
+            dense = A.shape[0] <= dense_level_cap
             self.levels.append({
-                "A": _DeviceCSR(A, dtype),
+                "A": (_DeviceDense(A, dtype) if dense
+                      else _DeviceCSR(A, dtype)),
                 "dinv": jnp.asarray(dinv, dtype=dtype),
-                "P": _DeviceCSR(P, dtype),
-                "R": _DeviceCSR(R, dtype),
+                "agg": jnp.asarray(agg.astype(np.int32)),
+                "c": float(c),
+                "n_agg": int(n_agg),
             })
-            A = sp.csr_matrix(R @ A @ P)
+            A = sp.csr_matrix(sp.csr_matrix(P.T) @ A @ P)
         # coarsest: dense pseudo-inverse (handles the semidefinite
         # enclosed-flow Laplacian, where the constant is in the null space)
         self.coarse_inv = jnp.asarray(
@@ -152,10 +171,16 @@ class AMG:
         if k == len(self.levels):
             return self.coarse_inv @ b
         lvl = self.levels[k]
+        A, dinv, agg, c = lvl["A"], lvl["dinv"], lvl["agg"], lvl["c"]
         x = self._smooth(lvl, jnp.zeros_like(b), b, self.pre_smooth)
-        r = b - lvl["A"].matvec(x)
-        xc = self._vcycle(k + 1, lvl["R"].matvec(r))
-        x = x + lvl["P"].matvec(xc)
+        r = b - A.matvec(x)
+        # R r = P0^T (I - c A D^-1) r  (A symmetric)
+        rs = r - c * A.matvec(dinv * r)
+        rc = jax.ops.segment_sum(rs, agg, num_segments=lvl["n_agg"])
+        xc = self._vcycle(k + 1, rc)
+        # P xc = (I - c D^-1 A) P0 xc
+        y = xc[agg]
+        x = x + (y - c * dinv * A.matvec(y))
         return self._smooth(lvl, x, b, self.post_smooth)
 
     def apply(self, r):
