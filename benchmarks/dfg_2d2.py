@@ -84,7 +84,7 @@ def main(t_end=80.0, resolution=1.3, dt=0.005, resume=None,
     # step (NS_DFG_AMG=0 reverts to the Jacobi path)
     use_amg = os.environ.get("NS_DFG_AMG", "1") == "1"
     cg_iters = tuple(int(v) for v in os.environ.get(
-        "NS_DFG_CG", "18,30,10" if use_amg else "18,250,10").split(","))
+        "NS_DFG_CG", "16,14,8" if use_amg else "18,250,10").split(","))
     rotational = os.environ.get("NS_DFG_SCHEME", "") == "rotational"
     # NS_DFG_OUTFLOW=neumann: natural (d phi/dn = 0) outflow pressure in
     # the projection Poisson instead of the phi = 0 Dirichlet pin -- the
