@@ -94,7 +94,7 @@ def main(resume, t_end, resolution=3.0, dt=0.005):
         series.append([ts.next_time, 2.0 * float(F[0]), 2.0 * float(F[1])])
         ts.advance_time()
         solver.advance_time()
-        if (step_i + 1) % 20 == 0:
+        if (step_i + 1) % int(os.environ.get("NS_DFG_MONO_PRINT", "20")) == 0:
             el = time.time() - tstart
             print(f"t={series[-1][0]:8.3f}  c_D={series[-1][1]:7.4f}  "
                   f"c_L={series[-1][2]:8.4f}  [{el / (step_i + 1):.2f} "
