@@ -115,12 +115,20 @@ class AMG:
 
     def __init__(self, A_scipy, *, dtype=None, max_levels=10,
                  coarse_size=200, theta=0.08, jacobi_weight=2.0 / 3.0,
-                 pre_smooth=1, post_smooth=1, dense_level_cap=4096):
+                 pre_smooth=1, post_smooth=1, dense_level_cap=None):
         import scipy.sparse as sp
+
+        import os
 
         if dtype is None:
             from navierstokes_tpu import config
             dtype = config.default_dtype()
+        if dense_level_cap is None:
+            # dense levels ride the MXU on TPU, but they are embedded as
+            # HLO constants by closing callers -- a 4k x 4k f64 constant
+            # sent XLA:CPU into pathological constant-folding inside
+            # while loops.  Keep the dense tail small by default.
+            dense_level_cap = int(os.environ.get("NS_AMG_DENSE_CAP", "768"))
         self.pre_smooth = pre_smooth
         self.post_smooth = post_smooth
         self.w = jacobi_weight
