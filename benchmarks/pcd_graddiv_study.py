@@ -79,7 +79,8 @@ def main():
     jax.config.update("jax_enable_x64", True)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     gammas = [float(g) for g in sys.argv[2:]] or [0.0, 1.0]
-    re_stages = [100.0, 215.0, 300.0, 464.0, 700.0, 1000.0]
+    re_stages = [float(v) for v in os.environ.get(
+        "NS_PCD_STAGES", "100,215,300,464,700,1000").split(",")]
     all_rows = {}
     for g in gammas:
         print(f"# gamma = {g}, grid {n}^2", flush=True)
