@@ -31,6 +31,25 @@ class ImplicitBDFSolver(InstationarySolverBase):
         super().__init__(mesh, boundary_markers, form_convective_term,
                          time_stepping, tol, max_iter, form_viscous_term,
                          linear_solver)
+        self._lu_cache = None
+
+    def _frozen_lu(self, x, scalars, source_q):
+        """Modified-Newton factorization cache (``linear_solver="frozen_lu"``).
+
+        The reference refactors its PETSc LU every Newton iteration of
+        every step (source/ns_bdf_solver.py:91-100).  For smooth
+        transients (e.g. marching a saturated limit cycle) the Jacobian
+        changes slowly, so one SuperLU factorization serves many
+        iterations *and* many steps; the Newton loop invalidates the
+        cache whenever the contraction rate degrades, which bounds the
+        extra iterations the lagged Jacobian costs.
+        """
+        if self._lu_cache is None:
+            from navierstokes_tpu.linalg.direct import HostSparseLU
+
+            csr = self._operator.jacobian_csr(x, scalars, source_q)
+            self._lu_cache = HostSparseLU(csr)
+        return self._lu_cache
 
     def _solve_time_step(self, next_time):
         op = self._operator
@@ -66,6 +85,7 @@ class ImplicitBDFSolver(InstationarySolverBase):
         res0 = res
         tol = self._tol
         rtol = 1.0e1 * self._tol
+        frozen = self._linear_solver == "frozen_lu"
         iterations = 0
         for iterations in range(1, self._maxiter + 1):
             if res <= max(tol, rtol * res0):
@@ -73,10 +93,18 @@ class ImplicitBDFSolver(InstationarySolverBase):
                 break
             r = op.residual(x, bc_values, scalars, source_q, extra_ru)
 
-            dx = solver_linear_step(self, op, space, x, scalars,
-                                    source_q, -r)
+            if frozen:
+                dx = self._frozen_lu(x, scalars, source_q).solve(-r)
+            else:
+                dx = solver_linear_step(self, op, space, x, scalars,
+                                        source_q, -r)
             x = x + dx
-            res = residual_norm(x)
+            res_prev, res = res, residual_norm(x)
+            if frozen and res > 0.4 * res_prev \
+                    and res > max(tol, rtol * res0):
+                # slow contraction of the modified-Newton iteration:
+                # refresh the frozen factorization at the current iterate
+                self._lu_cache = None
         else:
             raise RuntimeError(
                 f"Newton iteration did not converge: residual {res:.3e}")
