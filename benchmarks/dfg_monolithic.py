@@ -84,7 +84,26 @@ def main(resume, t_end, resolution=3.0, dt=0.005):
 
     suffix = f"_mono_res{resolution:g}"
     os.makedirs("results", exist_ok=True)
+    series_path = f"results/dfg_2d2_coefficients{suffix}.txt"
+    prev = []
+    if "series_t" in data:  # resuming a monolithic state: keep history
+        if os.path.exists(series_path):
+            prev = np.loadtxt(series_path)
+            prev = prev[prev[:, 0] <= t0 + 1e-9].tolist()
     series = []
+
+    def save_all():
+        arr = np.asarray(prev + series)
+        np.savetxt(series_path, arr)
+        un, pn = space.split(solver._solutions[0])
+        uo, _ = space.split(solver._solutions[2])
+        np.savez(f"results/dfg_2d2_state{suffix}.npz",
+                 u=np.asarray(un, np.float64).reshape(-1),
+                 u_old=np.asarray(uo, np.float64).reshape(-1),
+                 p=np.asarray(pn, np.float64), t=series[-1][0],
+                 resolution=resolution, series_t=1.0)
+        return arr
+
     tstart = time.time()
     n_steps = int(round((t_end - t0) / dt))
     for step_i in range(n_steps):
@@ -99,10 +118,8 @@ def main(resume, t_end, resolution=3.0, dt=0.005):
             print(f"t={series[-1][0]:8.3f}  c_D={series[-1][1]:7.4f}  "
                   f"c_L={series[-1][2]:8.4f}  [{el / (step_i + 1):.2f} "
                   f"s/step]", flush=True)
-            np.savetxt(f"results/dfg_2d2_coefficients{suffix}.txt",
-                       np.asarray(series))
-    arr = np.asarray(series)
-    np.savetxt(f"results/dfg_2d2_coefficients{suffix}.txt", arr)
+            save_all()
+    arr = save_all()
 
     if len(arr) > 400:
         from navierstokes_tpu.utils.signal import periodic_fit

@@ -458,10 +458,32 @@ class PlanarOps(NamedTuple):
     conv_table: jnp.ndarray   # transpose-scatter table
     Mp: object = None         # pressure (P1) mass -- rotational scheme
     diag_mp: jnp.ndarray = None
+    conv_Wc: jnp.ndarray = None   # (ncls, nq) per-class quad weights
+    conv_g2c: jnp.ndarray = None  # (ncls, nq, nn, d) per-class gradients
 
 
-def conv_apply(ops: PlanarOps, u, cc):
+class StridedConv(NamedTuple):
+    """Static descriptor of the gather-free (strided) convection layout.
+
+    On meshes whose lex ordering makes the scalar operators circulant
+    (uniform periodic boxes), the P2 nodes form a regular half-spacing
+    torus grid of shape ``grid`` and every cell is one of a few
+    translation classes: its 6 nodes sit at fixed 2D offsets ``offs[c]``
+    from a stride-2 anchor lattice.  The cell gather/scatter of the
+    convection quadrature then lowers to rolls + strided slices (pure
+    VPU/HBM streaming) instead of ~1.3M serial scalar gathers -- the
+    dominant sink of the banded step (docs/ROUND4.md phase table).
+    Hashable (nested tuples) so it can ride ``jit`` static args.
+    """
+
+    grid: tuple               # (Ny, Nx) fine-grid shape, Ny*Nx = Nu
+    offs: tuple               # ncls x nn x 2 nested int tuples
+
+
+def conv_apply(ops: PlanarOps, u, cc, strided=None):
     """Assembled convection rhs b = int(cc (u.grad)u . N), planar."""
+    if strided is not None and ops.conv_Wc is not None:
+        return _conv_apply_strided(ops, u, cc, strided)
     dim = u.shape[0]
     u_c = u[:, ops.conv_cu]                                  # (d, nc, 6)
     u_q = jnp.einsum("qi,dci->dcq", ops.conv_N2, u_c)
@@ -472,6 +494,29 @@ def conv_apply(ops: PlanarOps, u, cc):
     pad = jnp.zeros((dim, 1), dtype=flat.dtype)
     padded = jnp.concatenate([flat, pad], axis=1)
     return padded[:, ops.conv_table].sum(axis=2)
+
+
+def _conv_apply_strided(ops: PlanarOps, u, cc, strided: StridedConv):
+    """Gather-free convection on translation-class grids (StridedConv)."""
+    d = u.shape[0]
+    Ny, Nx = strided.grid
+    u2 = u.reshape(d, Ny, Nx)
+    out = jnp.zeros_like(u2)
+    for c, off_c in enumerate(strided.offs):
+        cols = [jnp.roll(u2, (-dy, -dx), axis=(1, 2))[:, ::2, ::2]
+                .reshape(d, -1) for dy, dx in off_c]
+        u_c = jnp.stack(cols, axis=-1)                       # (d, m, nn)
+        u_q = jnp.einsum("qi,dmi->dmq", ops.conv_N2, u_c)
+        grad_u = jnp.einsum("dmi,qie->dmqe", u_c, ops.conv_g2c[c])
+        adv = cc * jnp.einsum("emq,dmqe->dmq", u_q, grad_u)
+        r_c = jnp.einsum("q,dmq,qi->dmi", ops.conv_Wc[c], adv,
+                         ops.conv_N2)
+        m2 = r_c.reshape(d, Ny // 2, Nx // 2, r_c.shape[-1])
+        for i, (dy, dx) in enumerate(off_c):
+            z = jnp.zeros((d, Ny // 2, 2, Nx // 2, 2), u.dtype)
+            z = z.at[:, :, 0, :, 0].set(m2[..., i]).reshape(d, Ny, Nx)
+            out = out + jnp.roll(z, (dy, dx), axis=(1, 2))
+    return out.reshape(d, -1)
 
 
 class FastTaylorHood:
@@ -615,7 +660,8 @@ class FastTaylorHood:
             conv_cu=self._conv_cu, conv_W=self._conv_W,
             conv_N2=self._conv_N2, conv_g2=self._conv_g2,
             conv_table=self._conv_table,
-            Mp=self.Mp, diag_mp=self.Mp.diagonal())
+            Mp=self.Mp, diag_mp=self.Mp.diagonal(),
+            conv_Wc=self._conv_Wc, conv_g2c=self._conv_g2c)
 
     @staticmethod
     def _is_circulant(A, perm, cap):
@@ -703,7 +749,76 @@ class FastTaylorHood:
                                          space.n_unodes)
         self._conv_table = jnp.asarray(tab)
 
+        self.conv_strided = None
+        self._conv_Wc = self._conv_g2c = None
+        import os
+
+        if self.structured and space.dim == 2 \
+                and os.environ.get("NS_FASTOP_STRIDED_CONV", "1") == "1":
+            self._detect_strided_convection(cu_p)
+
+    def _detect_strided_convection(self, cu_p):
+        """Classify cells into translation classes on the lex torus grid.
+
+        Succeeds exactly when (a) the permuted P2 nodes fill a uniform
+        (Ny, Nx) grid, (b) every cell's nodes sit at class-constant 2D
+        offsets from an even-parity anchor, (c) each class's anchors
+        tile the stride-2 lattice exactly once, and (d) quadrature
+        weights/physical gradients are class-constant (uniform affine
+        cells).  Any failure leaves the gather path in place.
+        """
+        space = self.space
+        ucoords, _ = node_coordinates(space)
+        key = np.round(ucoords / 1e-9).astype(np.int64)
+        xs, ys = np.unique(key[:, 0]), np.unique(key[:, 1])
+        Nx, Ny = len(xs), len(ys)
+        if Nx * Ny != space.n_unodes or Nx % 2 or Ny % 2:
+            return
+        if (len(xs) > 1 and np.ptp(np.diff(xs)) > 1) or \
+                (len(ys) > 1 and np.ptp(np.diff(ys)) > 1):
+            return  # non-uniform spacing
+        iy, ix = cu_p // Nx, cu_p % Nx
+        dy = (iy - iy[:, :1]) % Ny
+        dx = (ix - ix[:, :1]) % Nx
+        dy = np.where(dy > Ny // 2, dy - Ny, dy)
+        dx = np.where(dx > Nx // 2, dx - Nx, dx)
+        if abs(dy).max() > 2 or abs(dx).max() > 2:
+            return
+        sig = np.concatenate(
+            [dy, dx, iy[:, :1] % 2, ix[:, :1] % 2], axis=1)
+        classes, cls_inv = np.unique(sig, axis=0, return_inverse=True)
+        if len(classes) > 8:
+            return
+        m = (Ny // 2) * (Nx // 2)
+        W = np.asarray(self._conv_W, np.float64)
+        g2 = np.asarray(self._conv_g2, np.float64)
+        offs, Wc, g2c = [], [], []
+        for c in range(len(classes)):
+            cells = np.where(cls_inv == c)[0]
+            if len(cells) != m:
+                return
+            if np.ptp(W[cells], axis=0).max() > 1e-12 * abs(W).max() or \
+                    np.ptp(g2[cells], axis=0).max() > 1e-9 * abs(g2).max():
+                return
+            py, px = int(classes[c][-2]), int(classes[c][-1])
+            ay, ax = iy[cells, 0] - py, ix[cells, 0] - px
+            ids = (ay // 2) * (Nx // 2) + ax // 2
+            order = np.argsort(ids)
+            if not np.array_equal(ids[order], np.arange(m)):
+                return  # anchors do not tile the stride-2 lattice
+            nn = cu_p.shape[1]
+            offs.append(tuple(
+                (int(dy[cells[0], i] + py), int(dx[cells[0], i] + px))
+                for i in range(nn)))
+            Wc.append(W[cells[0]])
+            g2c.append(g2[cells[0]])
+        self.conv_strided = StridedConv(grid=(Ny, Nx), offs=tuple(offs))
+        np_dt = np.dtype(self.dtype)
+        self._conv_Wc = jnp.asarray(np.asarray(Wc, np_dt))
+        self._conv_g2c = jnp.asarray(np.asarray(g2c, np_dt))
+
     def make_convection_rhs(self, cc):
         """u (dim, Nu) -> b (dim, Nu), b = int(cc (u.grad)u . N) assembled."""
-        f = jax.jit(conv_apply, static_argnames=("cc",))
-        return lambda u: f(self.ops, u, cc=float(cc))
+        f = jax.jit(conv_apply, static_argnames=("cc", "strided"))
+        return lambda u: f(self.ops, u, cc=float(cc),
+                           strided=self.conv_strided)

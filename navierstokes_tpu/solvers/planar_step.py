@@ -78,10 +78,12 @@ def _pcg(matvec, b, x0, iters, inv_diag=None, project=None, rtol=None,
 
 @partial(jax.jit, static_argnames=("visc", "conv_coeff", "cg_iters",
                                    "cg_rtol", "with_residuals",
-                                   "p_precond", "rotational"))
+                                   "p_precond", "rotational",
+                                   "conv_strided"))
 def _step_core(ops, masks, u, u_old, p, phi, alpha, eta, bc_values, k,
                body_rhs, *, visc, conv_coeff, cg_iters, cg_rtol,
-               with_residuals, p_precond=None, rotational=False):
+               with_residuals, p_precond=None, rotational=False,
+               conv_strided=None):
     v_free, v_vals_static, p_free = masks
     a0, a1, a2 = alpha
 
@@ -133,7 +135,8 @@ def _step_core(ops, masks, u, u_old, p, phi, alpha, eta, bc_values, k,
     # (1) velocity Helmholtz solve
     u_ext = eta[0] * u + eta[1] * u_old
     b = (-(a1 / k) * mass_u(u) - (a2 / k) * mass_u(u_old)
-         - conv_apply(ops, u_ext, conv_coeff) - grad(p))
+         - conv_apply(ops, u_ext, conv_coeff, strided=conv_strided)
+         - grad(p))
     if body_rhs is not None:
         b = b + body_rhs
     inv_diag_h = inv((a0 / k) * ops.diag_m + visc * ops.diag_k)
@@ -287,7 +290,9 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
                           cg_rtol=None if cg_rtol is None else float(cg_rtol),
                           with_residuals=bool(with_residuals),
                           p_precond=poisson_precond,
-                          rotational=bool(rotational))
+                          rotational=bool(rotational),
+                          conv_strided=getattr(fast, "conv_strided",
+                                               None))
 
     # expose the traced-argument pieces so callers embedding the step in a
     # LARGER jitted program (e.g. a lax.scan over steps) can pass the
@@ -300,5 +305,6 @@ def build_planar_projection_step(fast, *, visc, dt, cg_iters=(12, 45, 8),
         visc=float(visc), conv_coeff=float(conv_coeff),
         cg_iters=tuple(int(i) for i in cg_iters),
         cg_rtol=None if cg_rtol is None else float(cg_rtol),
-        p_precond=poisson_precond, rotational=bool(rotational))
+        p_precond=poisson_precond, rotational=bool(rotational),
+        conv_strided=getattr(fast, "conv_strided", None))
     return step
