@@ -126,6 +126,11 @@ def main(n=128, reps=2000, dfg=False):
 
     timeit("convection (row-gather exp)", conv_rowgather, u,
            nrep=reps // 4)
+    if fast.conv_strided is not None:
+        timeit("convection (strided)",
+               lambda o, v: conv_apply(o, v, 1.0,
+                                       strided=fast.conv_strided),
+               u, nrep=reps // 4)
 
     inv_mdiag = 1.0 / ops.diag_m
     inv_ldiag = jnp.where(jnp.abs(ops.diag_l) > 1e-30,

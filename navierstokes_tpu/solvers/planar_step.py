@@ -92,8 +92,17 @@ def _step_core(ops, masks, u, u_old, p, phi, alpha, eta, bc_values, k,
 
     mass_u = ops.M.apply
 
-    def helm(v):
-        return (a0 / k) * ops.M.apply(v) + visc * ops.K.apply(v)
+    from navierstokes_tpu.assembly.fastop import (CirculantBand,
+                                                  combine_circulant)
+
+    if isinstance(ops.M, CirculantBand) and isinstance(ops.K,
+                                                       CirculantBand):
+        # one fused band: halves the band HBM traffic and kernel count
+        # of every velocity-CG iteration (combine paid once per step)
+        helm = combine_circulant([(a0 / k, ops.M), (visc, ops.K)]).apply
+    else:
+        def helm(v):
+            return (a0 / k) * ops.M.apply(v) + visc * ops.K.apply(v)
 
     def grad(q):
         return jnp.stack([Gd.apply(q) for Gd in ops.G], axis=0)

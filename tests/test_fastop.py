@@ -348,3 +348,36 @@ def test_planar_step_rotational_poiseuille_exact():
     p_back = np.asarray(fast.unpermute_pressure(p))
     assert np.abs(u_back - np.asarray(u0)).max() < 1e-8
     assert np.abs(p_back - np.asarray(p0)).max() < 1e-6
+
+
+def test_strided_convection_matches_gather(periodic_space):
+    """Translation-class (padded static-slice) convection == cell gather."""
+    from navierstokes_tpu.assembly.fastop import conv_apply
+
+    fast = FastTaylorHood(periodic_space)
+    assert fast.conv_strided is not None, \
+        "periodic uniform box must detect the strided layout"
+    assert len(fast.conv_strided.offs) == 2    # two triangle classes
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((2, periodic_space.n_unodes)))
+    a = conv_apply(fast.ops, u, 1.3)
+    b = conv_apply(fast.ops, u, 1.3, strided=fast.conv_strided)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-13)
+
+
+def test_strided_convection_not_detected_on_channel(channel_space):
+    fast = FastTaylorHood(channel_space)
+    assert fast.conv_strided is None
+
+
+def test_combine_circulant_matches_sum(periodic_space):
+    from navierstokes_tpu.assembly.fastop import combine_circulant
+
+    fast = FastTaylorHood(periodic_space)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(periodic_space.n_unodes))
+    a0, nu = jnp.asarray(317.2), jnp.asarray(0.013)
+    H = combine_circulant([(a0, fast.M), (nu, fast.K)])
+    want = a0 * fast.M.apply(x) + nu * fast.K.apply(x)
+    np.testing.assert_allclose(np.asarray(H.apply(x)), np.asarray(want),
+                               atol=1e-10)
