@@ -58,7 +58,10 @@ def main(state_path, res_from, res_to):
     uo1 = np.asarray(data["u_old"], np.float64).reshape(space1.n_unodes,
                                                         space1.dim)
     p1 = np.asarray(data["p"], np.float64)
-    phi1 = np.asarray(data["phi"], np.float64)
+    # monolithic states (benchmarks/dfg_monolithic.py) carry no pressure
+    # increment; seed phi = 0 (the split scheme rebuilds it in one step)
+    phi1 = (np.asarray(data["phi"], np.float64) if "phi" in data
+            else np.zeros_like(p1))
 
     upts = np.array(space2.u_coords)
     ppts = np.array(space2.p_coords)
