@@ -160,13 +160,36 @@ class CirculantBand:
     # in a single fused multiply-reduce.  The chain emits O(K) separate
     # HBM-bound kernels whose fixed launch cost dominates at ~1e5-row
     # vectors; the stack form is 2 kernels regardless of K (measured in
-    # benchmarks/banded_micro.py).  NS_CIRC_APPLY overrides.
-    mode = _os_env.get("NS_CIRC_APPLY", "stack")
+    # benchmarks/banded_micro.py).  "pallas" runs the whole contraction
+    # in one VMEM-resident TPU kernel at band-traffic roofline
+    # (assembly/pallas_band.py); "auto" = pallas on TPU when the static
+    # gate admits it, stack otherwise.  NS_CIRC_APPLY overrides.
+    mode = _os_env.get("NS_CIRC_APPLY", "auto")
+
+    def _apply_pallas(self, x, interpret):
+        from navierstokes_tpu.assembly import pallas_band
+
+        if (jnp.dtype(x.dtype) != jnp.float32
+                or not pallas_band.eligible(self.offsets, self.n,
+                                            self.band.dtype, self.nbytes)):
+            return None
+        return pallas_band.circulant_apply(self.band, self.offsets, x,
+                                           interpret=interpret)
 
     def apply(self, x):
         """x: (..., N) -> (..., N)."""
+        mode = self.mode
+        if mode == "auto":
+            import jax as _jax
+
+            mode = "pallas" if _jax.default_backend() == "tpu" else "stack"
+        if mode in ("pallas", "pallas_interpret"):
+            y = self._apply_pallas(x, interpret=(mode == "pallas_interpret"))
+            if y is not None:
+                return y
+            mode = "stack"
         if self.band.size <= self._UNROLL_BUDGET:
-            if self.mode == "stack":
+            if mode == "stack":
                 from jax import lax
 
                 x2 = jnp.concatenate([x, x], axis=-1)
@@ -198,6 +221,12 @@ class CirculantBand:
         return acc
 
     def diagonal(self):
+        if self._diag_host is None:
+            # combine_circulant fuses traced coefficients; its diagonal
+            # row lives on device in the fused band
+            if 0 in self.offsets:
+                return self.band[self.offsets.index(0)]
+            return jnp.zeros(self.n, dtype=self.band.dtype)
         return jnp.asarray(self._diag_host, dtype=self.band.dtype)
 
     @property
@@ -439,6 +468,9 @@ def combine_circulant(terms):
     out = object.__new__(CirculantBand)
     out.offsets = tuple(union)
     out.n = n
+    # fused bands are built from traced coefficients, so a host-side
+    # diagonal snapshot does not exist; diagonal() falls back to the
+    # on-device zero-offset band row
     out._diag_host = None
     out.band = band
     return out

@@ -50,6 +50,12 @@ def solve_linear_system(matrix_provider, rhs, n, mode=None):
         mode = auto_linear_mode(n)
         if mode == "pcd":
             mode = "gmres"  # context-free fallback
+    if mode == "frozen_lu":
+        # ImplicitBDFSolver's modified-Newton cache; any other path that
+        # reaches here wants the equivalent one-shot factorization
+        mode = "host_lu"
+    assert mode in ("dense", "host_lu", "csr", "gmres"), \
+        f"unknown linear solver mode {mode!r}"
     if mode == "dense":
         return dense_solve(matrix_provider("dense"), rhs)
     if mode == "host_lu":

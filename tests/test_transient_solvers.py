@@ -236,3 +236,64 @@ def test_time_dependent_body_force_and_bcs():
     err = solver.operator.l2_error_velocity(u, lambda x: u_ex(x, t))
     # linear-in-time: only the P2 interpolation error of sin(pi y) remains
     assert err < 2e-4, err
+
+
+def test_frozen_lu_modified_newton(monkeypatch):
+    """linear_solver="frozen_lu" reuses one factorization across Newton
+    iterations AND steps, refreshes it when the lagged Jacobian stalls
+    the contraction (here: a 10x step-size jump), and converges to the
+    same solution as the per-iteration direct solve."""
+    import navierstokes_tpu.linalg.direct as direct
+    from navierstokes_tpu.timestepping import BDFTimeStepping
+
+    n_fact = {"count": 0}
+    real_lu = direct.HostSparseLU
+
+    class CountingLU(real_lu):
+        def __init__(self, csr):
+            n_fact["count"] += 1
+            super().__init__(csr)
+
+    import navierstokes_tpu.solvers.stationary as stationary
+
+    monkeypatch.setattr(direct, "HostSparseLU", CountingLU)
+    monkeypatch.setattr(stationary, "HostSparseLU", CountingLU)
+
+    mesh, markers = hyper_rectangle((0.0, 0.0), (4.0, 1.0), (12, 3))
+
+    def inlet(x):
+        return np.stack([6.0 * x[:, 1] * (1.0 - x[:, 1]),
+                         np.zeros(len(x))], axis=1)
+
+    def run(linear):
+        n0 = n_fact["count"]
+        ts = BDFTimeStepping(0.0, 1.0, desired_start_time_step=0.02)
+        solver = ImplicitBDFSolver(mesh, markers, "standard", ts,
+                                   tol=1e-10, linear_solver=linear)
+        solver.set_boundary_conditions(
+            ((VelocityBCType.function, M.left.value, inlet),
+             (VelocityBCType.no_slip, M.bottom.value, None),
+             (VelocityBCType.no_slip, M.top.value, None)))
+        solver.set_equation_coefficients(
+            {"convective_term": 1.0, "viscous_term": 0.1,
+             "pressure_term": 1.0, "coriolis_term": None,
+             "euler_term": None, "body_force_term": None})
+        solver.set_initial_conditions({"velocity": (0.0, 0.0)})
+        for step in range(6):
+            if step == 4:   # abrupt dt jump: lagged Jacobian must refresh
+                ts.set_desired_next_step_size(0.2)
+            ts.update_coefficients()
+            solver.solve()
+            ts.advance_time()
+            solver.advance_time()
+        return np.asarray(solver.solution), n_fact["count"] - n0
+
+    x_ref, fact_ref = run("host_lu")
+    x_frozen, fact_frozen = run("frozen_lu")
+
+    scale = np.abs(x_ref).max()
+    assert np.abs(x_frozen - x_ref).max() < 1e-7 * scale
+    # reuse: far fewer factorizations than the per-iteration solve ...
+    assert fact_frozen < fact_ref / 2, (fact_frozen, fact_ref)
+    # ... but at least the initial one plus the post-jump refresh
+    assert fact_frozen >= 2, fact_frozen
