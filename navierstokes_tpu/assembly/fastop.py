@@ -401,6 +401,177 @@ class GatherOp:
                 + self.rows.size * 8)
 
 
+class StencilCoupling:
+    """Class-constant P2<->P1 coupling stencil on translation-class grids.
+
+    On uniform periodic boxes the permuted P2 nodes fill a fine
+    (Ny, Nx) torus grid and the P1 nodes its stride-2 coarse grid; the
+    gradient/divergence couplings G (Nu, Np) and D (Np, Nu) are then
+    EXACTLY translation-invariant per fine parity phase: every nonzero
+    A[i, j] depends only on (parity(i), coarse_offset(i, j)) -- 19
+    distinct values at any size (measured spread ~1e-16).  The apply is
+    a handful of static slices of a wrap-padded plane + fma: O(taps)
+    storage and x+y HBM traffic, against the 387 MB AffineBand rim at
+    128^2 (564 us at its own band roofline, docs/ROUND4.md) and the COO
+    fallback that crashed 256^2 (round-4 verdict item 3).  Replaces the
+    PETSc SpMV of the reference's projection sub-steps
+    (ns_ipcs_solver.py:160-187).
+    """
+
+    #: (a, b) parity enumeration order for taps
+    PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+    def __init__(self, kind, fine_grid, coarse_grid, offs, weights, dtype):
+        assert kind in ("G", "D")
+        self.kind = kind
+        self.fine = tuple(int(v) for v in fine_grid)
+        self.coarse = tuple(int(v) for v in coarse_grid)
+        # offs: 4-tuple (per phase) of ((dy, dx), ...) coarse offsets
+        self.offs = tuple(tuple((int(dy), int(dx)) for dy, dx in ph)
+                          for ph in offs)
+        self.extent = max((max(abs(dy), abs(dx)) for ph in self.offs
+                           for dy, dx in ph), default=0)
+        self.weights = jnp.asarray(np.asarray(weights), dtype=dtype)
+        if kind == "G":
+            self.n_rows = self.fine[0] * self.fine[1]
+            self.n_cols = self.coarse[0] * self.coarse[1]
+        else:
+            self.n_rows = self.coarse[0] * self.coarse[1]
+            self.n_cols = self.fine[0] * self.fine[1]
+
+    def _phase_slices(self, pad, nyc, nxc):
+        e = self.extent
+        w = 0
+        for ph in self.offs:
+            acc = None
+            for dy, dx in ph:
+                sl = jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(pad, e + dy, e + dy + nyc,
+                                         axis=-2),
+                    e + dx, e + dx + nxc, axis=-1)
+                term = self.weights[w] * sl
+                w += 1
+                acc = term if acc is None else acc + term
+            yield acc
+
+    def apply(self, x):
+        nyc, nxc = self.coarse
+        lead = x.shape[:-1]
+        nl = len(lead)
+        e = self.extent
+        if self.kind == "G":
+            # coarse plane -> 4 fine parity phases
+            pg = x.reshape(lead + (nyc, nxc))
+            pad = jnp.pad(pg, ((0, 0),) * nl + ((e, e), (e, e)),
+                          mode="wrap")
+            phases = list(self._phase_slices(pad, nyc, nxc))
+            ph = jnp.stack(phases, axis=nl).reshape(
+                lead + (2, 2, nyc, nxc))
+            # out[..., I, a, J, b] = ph[..., a, b, I, J]
+            axes = tuple(range(nl)) + (nl + 2, nl, nl + 3, nl + 1)
+            out = ph.transpose(axes)
+            return out.reshape(lead + (self.n_rows,))
+        # D: 4 fine parity phases -> coarse plane
+        ug = x.reshape(lead + (nyc, 2, nxc, 2))
+        acc = None
+        w = 0
+        for (a, b), ph in zip(self.PHASES, self.offs):
+            plane = ug[..., :, a, :, b]
+            pad = jnp.pad(plane, ((0, 0),) * nl + ((e, e), (e, e)),
+                          mode="wrap")
+            for dy, dx in ph:
+                sl = jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(pad, e + dy, e + dy + nyc,
+                                         axis=-2),
+                    e + dx, e + dx + nxc, axis=-1)
+                term = self.weights[w] * sl
+                w += 1
+                acc = term if acc is None else acc + term
+        return acc.reshape(lead + (self.n_rows,))
+
+    @property
+    def nbytes(self):
+        return self.weights.size * self.weights.dtype.itemsize
+
+
+def _sc_flatten(op):
+    aux = (op.kind, op.fine, op.coarse, op.offs, op.extent,
+           op.n_rows, op.n_cols)
+    return (op.weights,), aux
+
+
+def _sc_unflatten(aux, children):
+    op = object.__new__(StencilCoupling)
+    (op.kind, op.fine, op.coarse, op.offs, op.extent,
+     op.n_rows, op.n_cols) = aux
+    (op.weights,) = children
+    return op
+
+
+jax.tree_util.register_pytree_node(StencilCoupling, _sc_flatten,
+                                   _sc_unflatten)
+
+
+def detect_stencil_coupling(A, kind, fine_grid, coarse_grid, dtype,
+                            max_extent=2, tol=1e-11):
+    """Exact class-constant detection of a P2<->P1 coupling matrix.
+
+    Returns a :class:`StencilCoupling` when EVERY nonzero of ``A``
+    (CSR/COO, rows fine for "G", rows coarse for "D") is reproduced by a
+    per-parity-phase constant stencil on the torus grids -- each
+    (phase, offset) group must cover every coarse anchor exactly once
+    with value spread <= tol.  Returns None otherwise (callers fall
+    back to the banded/COO formats).
+    """
+    Ny, Nx = fine_grid
+    nyc, nxc = coarse_grid
+    if nyc < 2 * max_extent + 2 or nxc < 2 * max_extent + 2:
+        return None
+    A = A.tocoo()
+    fine_idx = A.row if kind == "G" else A.col
+    coarse_idx = A.col if kind == "G" else A.row
+    fy, fx = fine_idx // Nx, fine_idx % Nx
+    a, b = fy % 2, fx % 2
+    Jy, Jx = coarse_idx // nxc, coarse_idx % nxc
+    if kind == "G":
+        dy = (Jy - fy // 2) % nyc
+        dx = (Jx - fx // 2) % nxc
+    else:
+        dy = (fy // 2 - Jy) % nyc
+        dx = (fx // 2 - Jx) % nxc
+    dy = np.where(dy > nyc // 2, dy - nyc, dy)
+    dx = np.where(dx > nxc // 2, dx - nxc, dx)
+    if abs(dy).max() > max_extent or abs(dx).max() > max_extent:
+        return None
+    span = 2 * max_extent + 1
+    key = ((a * 2 + b) * span + (dy + max_extent)) * span \
+        + (dx + max_extent)
+    order = np.argsort(key, kind="stable")
+    ks, vs = key[order], A.data[order]
+    uk, starts = np.unique(ks, return_index=True)
+    bounds = np.append(starts, len(ks))
+    m = nyc * nxc
+    scale = np.abs(A.data).max()
+    offs = [[] for _ in range(4)]
+    weights = []
+    per_phase = [[] for _ in range(4)]
+    for i, k in enumerate(uk):
+        grp = vs[bounds[i]:bounds[i + 1]]
+        if len(grp) != m or np.ptp(grp) > tol * scale:
+            return None
+        ph, rem = divmod(int(k), span * span)
+        dyy, dxx = divmod(rem, span)
+        per_phase[ph].append(((dyy - max_extent, dxx - max_extent),
+                              grp[0]))
+    for ph in range(4):
+        for (o, v) in per_phase[ph]:
+            offs[ph].append(o)
+            weights.append(v)
+    return StencilCoupling(kind, fine_grid, coarse_grid,
+                           tuple(tuple(o) for o in offs),
+                           np.asarray(weights), dtype)
+
+
 def _go_flatten(op):
     return (op.rows, op.cols, op.vals), (op.n_rows, op.n_cols)
 
@@ -725,18 +896,28 @@ class FastTaylorHood:
         self.K = build_operator(pu(K), name="stiffness", **kw)
         self.L = build_operator(pp(L), name="pressure-stiffness", **kw)
         self.Mp = build_operator(pp(Mp), name="pressure-mass", **kw)
-        # rectangular rim couplings: banded while cheap, sorted-COO gather
-        # beyond NS_FASTOP_RIM_BYTES (they apply ~3x/step vs the hundreds
-        # of banded CG matvecs, and their band width grows with the grid
-        # line length)
-        self.G = [build_rim_operator(Gd.tocsr()[permU][:, permP],
-                                     name=f"gradient[{d}]", **kw)
-                  for d, Gd in enumerate(Gs)]
-        self.D = [build_rim_operator(Gd.tocsr().T.tocsr()[permP][:, permU],
-                                     name=f"divergence[{d}]", **kw)
-                  for d, Gd in enumerate(Gs)]
         self.structured = all(
             isinstance(op, CirculantBand) for op in (self.M, self.K, self.L))
+        # rectangular couplings: exact class-constant stencil on
+        # translation-class torus grids (O(1) storage, kills the rim
+        # bands and the 256^2 COO wall); else banded while cheap,
+        # sorted-COO gather beyond NS_FASTOP_RIM_BYTES
+        grids = self._torus_grids(ucoords, pcoords) \
+            if (self.structured and self.dim == 2
+                and _os_env.get("NS_FASTOP_STENCIL_GD", "1") == "1") \
+            else None
+        self.G, self.D = [], []
+        for d, Gd in enumerate(Gs):
+            Gp = Gd.tocsr()[permU][:, permP]
+            Dp = Gd.tocsr().T.tocsr()[permP][:, permU]
+            g = detect_stencil_coupling(Gp, "G", grids[0], grids[1], dt) \
+                if grids else None
+            dd = detect_stencil_coupling(Dp, "D", grids[0], grids[1], dt) \
+                if grids else None
+            self.G.append(g if g is not None else build_rim_operator(
+                Gp, name=f"gradient[{d}]", **kw))
+            self.D.append(dd if dd is not None else build_rim_operator(
+                Dp, name=f"divergence[{d}]", **kw))
 
         self._setup_convection(em)
         self.ops = PlanarOps(
@@ -748,6 +929,26 @@ class FastTaylorHood:
             conv_table=self._conv_table,
             Mp=self.Mp, diag_mp=self.Mp.diagonal(),
             conv_Wc=self._conv_Wc, conv_g2c=self._conv_g2c)
+
+    @staticmethod
+    def _torus_grids(ucoords, pcoords):
+        """((Ny, Nx), (nyc, nxc)) when both node sets fill uniform
+        row-major grids with the fine one exactly double; else None."""
+        def dims(coords):
+            key = np.round(coords / 1e-9).astype(np.int64)
+            xs, ys = np.unique(key[:, 0]), np.unique(key[:, 1])
+            if len(xs) * len(ys) != len(coords):
+                return None
+            for v in (xs, ys):
+                if len(v) > 1 and np.ptp(np.diff(v)) > 1:
+                    return None
+            return len(ys), len(xs)
+        fine, coarse = dims(ucoords), dims(pcoords)
+        if fine is None or coarse is None:
+            return None
+        if fine[0] != 2 * coarse[0] or fine[1] != 2 * coarse[1]:
+            return None
+        return fine, coarse
 
     @staticmethod
     def _is_circulant(A, perm, cap):

@@ -381,3 +381,35 @@ def test_combine_circulant_matches_sum(periodic_space):
     want = a0 * fast.M.apply(x) + nu * fast.K.apply(x)
     np.testing.assert_allclose(np.asarray(H.apply(x)), np.asarray(want),
                                atol=1e-10)
+
+
+def test_stencil_coupling_detected_and_exact(periodic_space):
+    """G/D on the periodic torus lower to class-constant stencils (O(1)
+    storage) and reproduce the CSR couplings exactly."""
+    from navierstokes_tpu.assembly.fastop import StencilCoupling
+
+    fast = FastTaylorHood(periodic_space)
+    assert all(isinstance(g, StencilCoupling) for g in fast.G)
+    assert all(isinstance(d, StencilCoupling) for d in fast.D)
+    assert sum(g.nbytes for g in fast.G) < 1024   # taps, not bands
+
+    space = periodic_space
+    rng = np.random.default_rng(3)
+    p = rng.standard_normal(space.n_pnodes)
+    u = rng.standard_normal(space.n_unodes)
+    for d in range(space.dim):
+        ref = FastTaylorHood(space, circulant_cap=0)  # AffineBand G/D
+        got = np.asarray(fast.G[d].apply(jnp.asarray(
+            p[fast.permP], fast.G[d].weights.dtype)))
+        want = np.asarray(ref.G[d].apply(jnp.asarray(
+            p[ref.permP], dtype=got.dtype)))
+        # orderings may differ between the two instances; compare in
+        # the unpermuted numbering
+        np.testing.assert_allclose(got[fast.invU], want[ref.invU],
+                                   atol=1e-11)
+        gotd = np.asarray(fast.D[d].apply(jnp.asarray(
+            u[fast.permU], fast.D[d].weights.dtype)))
+        wantd = np.asarray(ref.D[d].apply(jnp.asarray(
+            u[ref.permU], dtype=gotd.dtype)))
+        np.testing.assert_allclose(gotd[fast.invP], wantd[ref.invP],
+                                   atol=1e-11)
