@@ -160,8 +160,12 @@ def _bench_generic(space, u0, p0):
             fast, visc=1.0 / RE, dt=DT, cg_iters=(10, p_iters, 6),
             poisson_precond="amg")
     else:
+        # Jacobi-CG sweep count scales ~ sqrt(cond(L)) ~ N (60 sweeps is
+        # the converged 128^2 budget; NS_BENCH_PSWEEPS overrides)
+        p_sweeps = int(os.environ.get("NS_BENCH_PSWEEPS",
+                                      str(max(60, 60 * N_POINTS // 128))))
         step = build_planar_projection_step(fast, visc=1.0 / RE, dt=DT,
-                                            cg_iters=(10, 60, 6))
+                                            cg_iters=(10, p_sweeps, 6))
     u = fast.permute_velocity(jnp.asarray(u0.T, dtype))
     p = fast.permute_pressure(jnp.asarray(p0, dtype))
     alpha1, alpha2, eta1, eta2 = _coeffs(dtype)

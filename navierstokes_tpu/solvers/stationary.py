@@ -130,7 +130,8 @@ class StationarySolverBase(SolverBase):
 
     def __init__(self, mesh, boundary_markers, form_convective_term="standard",
                  tol=None, maxiter=50, tol_picard=1e-2, maxiter_picard=10,
-                 form_viscous_term="reduced", linear_solver=None):
+                 form_viscous_term="reduced", linear_solver=None,
+                 device_mesh=None):
         super().__init__(mesh, boundary_markers, form_convective_term,
                          form_viscous_term)
         if tol is None:
@@ -141,6 +142,12 @@ class StationarySolverBase(SolverBase):
         self._tol_picard = tol_picard
         self._maxiter = maxiter
         self._maxiter_picard = maxiter_picard
+        # multi-device: cell-sharded Jacobian sweeps inside the PCD
+        # Newton-Krylov stack (parallel/sharded_mixed.py); the PCD mode
+        # is the only device-side linear path, so it becomes the default
+        if device_mesh is not None and linear_solver is None:
+            linear_solver = "pcd"
+        self._device_mesh = device_mesh
         self._linear_solver = linear_solver
         self._solution = None
 
@@ -148,6 +155,12 @@ class StationarySolverBase(SolverBase):
         assert self._equation_coefficients is not None
         self._setup_space()
         self._setup_operator()
+        if self._device_mesh is not None:
+            from navierstokes_tpu.parallel.sharded_mixed import \
+                ShardedMixedOperator
+
+            self._operator = ShardedMixedOperator(self._operator,
+                                                  self._device_mesh)
         self._compile_boundary_conditions()
         self._solution = jnp.zeros(self._space.n_dofs,
                                    dtype=config.default_dtype())
