@@ -52,7 +52,8 @@ def main(resume, t_end, resolution=3.0, dt=0.005):
 
     ts = BDFTimeStepping(t0, t_end, desired_start_time_step=dt)
     linear = os.environ.get("NS_DFG_MONO_LINSOLVE", "csr")
-    solver = ImplicitBDFSolver(mesh, markers, "standard", ts,
+    form = os.environ.get("NS_DFG_MONO_FORM", "standard")
+    solver = ImplicitBDFSolver(mesh, markers, form, ts,
                                tol=float(os.environ.get(
                                    "NS_DFG_MONO_TOL", "1e-8")),
                                linear_solver=linear)
@@ -86,7 +87,10 @@ def main(resume, t_end, resolution=3.0, dt=0.005):
     # live under the committed benchmarks/states/, not gitignored results/
     states_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "states")
-    suffix = f"_mono_res{resolution:g}"
+    # NS_DFG_MONO_TAG isolates probe runs (quadrature/convective-form
+    # sensitivity) from the main arbiter series files
+    suffix = f"_mono_res{resolution:g}" + os.environ.get(
+        "NS_DFG_MONO_TAG", "")
     os.makedirs(states_dir, exist_ok=True)
     series_path = os.path.join(states_dir,
                                f"dfg_2d2_coefficients{suffix}.txt")

@@ -182,7 +182,15 @@ class SolverBase:
 
     # ------------------------------------------------------------- internals
     def _setup_space(self):
-        self._space = TaylorHoodSpace(self._mesh, periodic=self._periodic)
+        import os
+
+        # NS_QUAD_DEGREE: volume quadrature sensitivity knob (degree 6 is
+        # exact for every affine-cell form in the suite; on curved
+        # isoparametric cells -- the DFG cylinder ring -- the integrands
+        # are rational and a bump quantifies the residual quadrature error)
+        deg = int(os.environ.get("NS_QUAD_DEGREE", "6"))
+        self._space = TaylorHoodSpace(self._mesh, periodic=self._periodic,
+                                      quadrature_degree=deg)
         print("Number of cells {0}, number of DoFs: {1}".format(
             self._n_cells, self._space.n_dofs))
 
