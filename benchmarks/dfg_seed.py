@@ -45,8 +45,20 @@ def main(state_path, res_from, res_to):
     wake_to = float(os.environ.get("NS_DFG_WAKE", "1"))
     len_from = float(os.environ.get("NS_DFG_LENGTH_FROM", "22"))
     len_to = float(os.environ.get("NS_DFG_LENGTH", "22"))
+    # NS_DFG_STAGGER_FROM lets the SOURCE mesh use a different ring/cloud
+    # construction than the target (e.g. seeding the new symmetric mesh
+    # from a state saved on the legacy asymmetric one)
+    stagger_from = os.environ.get("NS_DFG_STAGGER_FROM")
+    if stagger_from is not None:
+        saved = os.environ.get("NS_RING_STAGGER")
+        os.environ["NS_RING_STAGGER"] = stagger_from
     mesh1, _, _ = channel_with_cylinder(res_from, wake=wake_from,
                                         length=len_from)
+    if stagger_from is not None:
+        if saved is None:
+            del os.environ["NS_RING_STAGGER"]
+        else:
+            os.environ["NS_RING_STAGGER"] = saved
     space1 = TaylorHoodSpace(mesh1)
     mesh2, markers2, bm2 = channel_with_cylinder(res_to, wake=wake_to,
                                                  length=len_to)

@@ -432,6 +432,28 @@ def channel_with_cylinder(resolution=1.0, curved=True, wake=1.0,
     # keep clear of the cylinder + rings and the walls
     d_c = np.hypot(cand[:, 0] - cx, cand[:, 1] - cy)
     cand = cand[d_c > r_k - 0.4 * h_k]
+    # mirror-symmetrize the near-cylinder cloud about the horizontal
+    # axis through the cylinder center (round-4 verdict item 8): the
+    # steady 2D-1 lift is 500x smaller than the drag, and a randomly
+    # jittered cloud feeds O(h^2) mesh asymmetry straight into it (the
+    # ladder was non-monotonic by a few percent).  A reflection-
+    # symmetric point set makes the Delaunay triangulation symmetric
+    # (up to measure-zero ties), so mesh-induced spurious lift cancels.
+    # The reflection band stays clear of the (asymmetric) walls.
+    if os.environ.get("NS_RING_STAGGER", "half") != "legacy":
+        R_sym, Y_bnd = 6.0, 1.55
+        d_c = np.hypot(cand[:, 0] - cx, cand[:, 1] - cy)
+        near = (d_c < R_sym) & (np.abs(cand[:, 1] - cy) < Y_bnd)
+        keep = cand[~near]
+        upper_half = cand[near & (cand[:, 1] >= cy)].copy()
+        # snap points hugging the symmetry plane onto it: a point at
+        # cy + eps and its mirror at cy - eps would form a sliver pair
+        snap = upper_half[:, 1] - cy < 0.35 * local_h(upper_half)
+        upper_half[snap, 1] = cy
+        mirrored = upper_half * np.array([1.0, -1.0]) \
+            + np.array([0.0, 2.0 * cy])
+        strict = upper_half[:, 1] > cy + 1e-12
+        cand = np.concatenate([keep, upper_half, mirrored[strict]])
     interior = ((cand[:, 0] > 0.4 * h_far) & (cand[:, 0] < L - 0.4 * h_far)
                 & (cand[:, 1] > 0.4 * base_h) & (cand[:, 1] < H - 0.4 * base_h))
     pts.append(cand[interior])

@@ -6,6 +6,8 @@ to tight tolerances in O(100) iterations and reproduce the direct-solve
 solution.
 """
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -58,6 +60,7 @@ def test_pcd_fgmres_beats_unpreconditioned():
     assert float(res_none) > 1e3 * float(res)
 
 
+@pytest.mark.slow
 def test_pcd_full_solve_matches_direct():
     s_direct = _cavity_solver(12, 10.0)
     s_direct.solve()
@@ -115,6 +118,7 @@ def test_matrix_free_pcd_newton_system():
     assert check <= 1e-6 * float(jnp.linalg.norm(b)), check
 
 
+@pytest.mark.slow
 def test_matrix_free_pcd_full_contract_moderate_re():
     """End-to-end 1e-10 contract through the matrix-free path at a
     convective Reynolds number (restart-80 regime: GMRES(40) stagnates

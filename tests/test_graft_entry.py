@@ -1,5 +1,7 @@
 """Driver entry points: single-chip step and the 8-device sharded dryrun."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +22,7 @@ def test_entry_step_runs():
     assert jnp.allclose(state2[0], u)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_eight_devices():
     import __graft_entry__ as ge
 

@@ -6,6 +6,8 @@ must equal the single-device reference to roundoff, while per-device
 storage is O(dofs/n_dev + halo) with halo << owned.
 """
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -153,6 +155,7 @@ def _channel_setup():
     return space, (vmask, vvals), pmask
 
 
+@pytest.mark.slow
 def test_halo_projection_step_matches_single_device():
     """A full Dirichlet-BC projection step on sharded state must track the
     single-device fused step to roundoff at every device count (the

@@ -5,6 +5,8 @@ dt=0.002, 10 steps) with value assertions on the inflow trace and
 divergence reduction after projection.
 """
 
+import pytest
+
 import numpy as np
 
 from navierstokes_tpu.fem.bcs import PressureBCType, VelocityBCType
@@ -155,6 +157,7 @@ def test_phi_increment_scheme():
     assert err < 3e-3, err
 
 
+@pytest.mark.slow
 def test_ipcs_temporal_order():
     """IPCS temporal convergence on Taylor-Green: second order in dt
     (the BASELINE.json 'BDF-2 monolithic vs IPCS dt refinement' config)."""

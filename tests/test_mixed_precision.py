@@ -6,6 +6,8 @@ framework's answer is float32 device Krylov + float64 host residual
 accumulation (assembly/host_reference.py, StationarySolver.solve_refined).
 """
 
+import pytest
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -52,6 +54,7 @@ def test_host_residual_matches_device_kernels():
         assert err < 1e-12, (form, err)
 
 
+@pytest.mark.slow
 def test_solve_refined_reaches_f64_contract():
     """solve() to device precision, then refinement to ||F||_f64 <= 1e-10;
     monitor records the refinement trajectory."""
@@ -88,6 +91,7 @@ def test_jacobian_f64_is_exact():
     assert err <= 1e-11 * max(scale, 1.0), (err, scale)
 
 
+@pytest.mark.slow
 def test_refined_traction_and_pressure_dirichlet_f32():
     """The f64 contract on the two BC classes that floor the plain f32
     refinement (VERDICT r2 items 7/weak 9): a pressure-Dirichlet channel
@@ -163,6 +167,7 @@ print('F32-BCCLASS-OK', rn_channel, rn_couette,
                                             out.stderr[-2000:])
 
 
+@pytest.mark.slow
 def test_refinement_in_true_f32_process():
     """The full mixed-precision path under float32 device numerics.
 
