@@ -85,8 +85,11 @@ def main():
     for g in gammas:
         print(f"# gamma = {g}, grid {n}^2", flush=True)
         all_rows[g] = run(n, g, re_stages)
-    out = f"results/pcd_graddiv_{n}.json"
-    os.makedirs("results", exist_ok=True)
+    # durable-results rule: study output is committed documentation data
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "data",
+        f"pcd_graddiv_{n}.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as fh:
         json.dump({str(g): r for g, r in all_rows.items()}, fh, indent=1)
     print(f"wrote {out}")
