@@ -128,3 +128,20 @@ def test_matrix_free_pcd_full_contract_moderate_re():
     s.solve()
     recs = [r for r in s.monitor.records if r["kind"] == "nonlinear_solve"]
     assert recs[-1]["residual"] <= 1e-10
+
+
+@pytest.mark.slow
+def test_default_grad_div_policy_high_re_direct_solve():
+    """Round-4 verdict item 5: beyond Re ~ 200 the STEADY PCD stack
+    engages the grad-div/AL Schur approximation by default (gamma=0.3,
+    the measured 32^2/64^2 ladder sweet spot), making high-Re cavity
+    solves direct Newton instead of the march->PTC relay."""
+    s = _cavity_solver(24, 300.0, linear_solver="pcd")
+    s.solve()
+    assert s._pcd_ctx.grad_div == 0.3
+    recs = [r for r in s.monitor.records if r["kind"] == "nonlinear_solve"]
+    assert recs[-1]["residual"] <= 1e-10
+    # below the threshold the transitional policy keeps plain PCD
+    s2 = _cavity_solver(24, 100.0, linear_solver="pcd")
+    s2.solve()
+    assert s2._pcd_ctx.grad_div == 0.0

@@ -76,3 +76,33 @@ def test_pallas_matches_stack_on_tpu(n, W, batch):
     y_pal = np.asarray(cb.apply(x))
     rel = np.abs(y_pal - y_stack).max() / np.abs(y_stack).max()
     assert rel < 1e-6, rel
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernel needs a real chip")
+def test_fused_pcg_matches_host_pcg_on_tpu():
+    """The single-kernel PCG reproduces the reference _pcg iteration
+    (same guards/ordering) on a real SPD circulant system."""
+    from navierstokes_tpu.solvers.planar_step import _pcg
+
+    rng = np.random.default_rng(11)
+    n, W = 4096, 128
+    offs = sorted({(c + j) % n for c in (0, W, n - W) for j in (-1, 0, 1)})
+    # diagonally dominant symmetric band -> SPD
+    band = np.full((len(offs), n), -1.0, np.float32)
+    band[offs.index(0)] = 2.0 * len(offs)
+    cb = CirculantBand(offs, band, np.float32)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x0 = jnp.zeros_like(b)
+    invd = 1.0 / cb.diagonal()
+
+    cb.mode = "stack"
+    x_ref, res_ref = _pcg(cb.apply, b, x0, 25, inv_diag=invd)
+    x_pal, r_pal = pallas_band.circulant_pcg(
+        cb.band, cb.offsets, b, x0, invd, jnp.asarray(1.0, b.dtype),
+        25, False)
+    rel = float(jnp.linalg.norm(x_pal - x_ref)
+                / jnp.linalg.norm(x_ref))
+    assert rel < 1e-5, rel
+    assert abs(float(jnp.linalg.norm(r_pal.reshape(-1))) - float(res_ref)) \
+        <= 1e-4 * float(res_ref) + 1e-6
